@@ -1,0 +1,152 @@
+"""Detection stage: dynamic-pixel clustering -> MovingObjects.
+
+TPU-native rewrite of scene_flow_clusterer (clusterer_nodelet.cpp): the
+dynamic map (:40-54), depth-gated connected components (ops/clustering.py),
+small-cluster removal (:354-393), and per-cluster AABB + descending-norm
+median velocity with re-gating (cluster2MovingObject :147-184) — all under
+one jit with a fixed object capacity.
+
+Cluster *numbering* intentionally differs from the reference's union-find
+creation order (SURVEY.md §7 hard part (c)): here clusters are ordered by the
+raster index of their first member pixel, which is deterministic and matches
+the reference at the partition level.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .config import ClustererConfig
+from .ops.clustering import connected_components
+from .types import MovingObjects, SceneFlowCloud
+
+
+@partial(jax.jit, static_argnames=("config",))
+def cluster_scene_flow(
+    cloud: SceneFlowCloud,
+    config: ClustererConfig = ClustererConfig(),
+    dynamic_speed: jnp.ndarray | None = None,
+    depth_diff: jnp.ndarray | None = None,
+):
+    """Cluster dynamic pixels into moving objects.
+
+    Args:
+      cloud: organized scene-flow cloud (NaN = invalid).
+      config: static knobs (capacities, window); the two hot thresholds can be
+        overridden per call without recompiling.
+
+    Returns:
+      (MovingObjects, label_image): fixed-capacity detections and the (H, W)
+      int32 compact-cluster-id image (-1 background), the analog of
+      ``~clusters_image`` (clusterer_nodelet.cpp:292-322).
+    """
+    dynamic_speed = (
+        jnp.float32(config.dynamic_speed) if dynamic_speed is None else dynamic_speed
+    )
+    depth_diff = (
+        jnp.float32(config.depth_diff) if depth_diff is None else depth_diff
+    )
+
+    h, w = cloud.points.shape[:2]
+    n = h * w
+    cap = config.max_objects
+
+    # calculateDynamicMap (clusterer_nodelet.cpp:40-54): ||v|| >= threshold.
+    # NaN velocity compares False -> static, as in the reference where NaN
+    # norm fails the >= test.
+    vel = cloud.velocity
+    vnorm = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
+    dynamic = vnorm >= dynamic_speed
+
+    depth = cloud.points[..., 2]
+    labels = connected_components(
+        dynamic,
+        depth,
+        depth_diff,
+        neighbor_distance=config.neighbor_distance,
+        max_iters=config.max_cc_iters,
+    )
+    flat_labels = labels.reshape(-1)
+
+    # Component sizes; drop those below cluster_size (removeSmallClusters,
+    # clusterer_nodelet.cpp:354-393). Note: like the reference, a lone
+    # dynamic pixel with no edges still forms a (size-1) component here,
+    # whereas the reference only creates clusters on edges — irrelevant
+    # because cluster_size >= 2 always removes singletons in practice; we
+    # additionally require size >= 2 for exact parity.
+    sizes = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.int32), flat_labels, num_segments=n + 1
+    )
+    min_size = jnp.maximum(jnp.int32(config.cluster_size), 2)
+    # A root is a pixel whose label equals its own flat index.
+    is_root = flat_labels == jnp.arange(n, dtype=jnp.int32)
+    big_root = (sizes[:n] >= min_size) & is_root
+
+    # Select up to `cap` roots in ascending raster order via top_k on the
+    # negated score (top_k of -score returns the smallest indices first).
+    root_score = jnp.where(big_root, jnp.arange(n, dtype=jnp.int32), n)
+    neg_top, _ = jax.lax.top_k(-root_score, cap)
+    roots = -neg_top  # ascending root flat indices; n = no cluster
+    root_valid = roots < n
+
+    # Map every pixel's label to a compact id in [0, cap), cap = background.
+    cidmap = jnp.full((n + 1,), cap, jnp.int32)
+    cidmap = cidmap.at[jnp.where(root_valid, roots, n)].set(
+        jnp.where(root_valid, jnp.arange(cap, dtype=jnp.int32), cap)
+    )
+    # Background sentinel stays `cap` even if an invalid root aliased slot n.
+    cidmap = cidmap.at[n].set(cap)
+    cid = cidmap[flat_labels]  # (n,) in [0, cap]
+
+    # AABB per cluster (pcl::getMinMax3D, clusterer_nodelet.cpp:151-161).
+    pts = cloud.points.reshape(n, 3)
+    member = cid < cap
+    safe_pts = jnp.where(member[:, None], pts, 0.0)
+    mins = jax.ops.segment_min(
+        jnp.where(member[:, None], safe_pts, jnp.inf), cid, num_segments=cap + 1
+    )[:cap]
+    maxs = jax.ops.segment_max(
+        jnp.where(member[:, None], safe_pts, -jnp.inf), cid, num_segments=cap + 1
+    )[:cap]
+    csize = jax.ops.segment_sum(
+        member.astype(jnp.int32), cid, num_segments=cap + 1
+    )[:cap]
+
+    # Median velocity: the member whose ||v|| ranks size/2-th in *descending*
+    # order (cluster2MovingObject, clusterer_nodelet.cpp:168-174). One
+    # two-key lexicographic sort: (compact id asc, -||v|| asc).
+    flat_vnorm = vnorm.reshape(-1)
+    sort_vnorm = jnp.where(member, flat_vnorm, -jnp.inf)
+    _, _, perm = jax.lax.sort(
+        (cid, -sort_vnorm, jnp.arange(n, dtype=jnp.int32)), num_keys=2
+    )
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(csize)[:-1].astype(jnp.int32)]
+    )
+    median_pos = jnp.clip(starts + csize // 2, 0, n - 1)
+    median_pixel = perm[median_pos]  # (cap,)
+    med_vel = vel.reshape(n, 3)[median_pixel]
+
+    med_norm = jnp.sqrt(jnp.sum(med_vel * med_vel, axis=-1))
+    # Re-gate the median against dynamic_speed (:176-177).
+    valid = root_valid & (csize > 0) & (med_norm >= dynamic_speed)
+
+    # Sequential ids over passing clusters (publishMovingObjects :329-339).
+    ids = jnp.where(valid, jnp.cumsum(valid.astype(jnp.int32)) - 1, -1)
+
+    center = jnp.where(valid[:, None], (mins + maxs) * 0.5, 0.0)
+    bbox = jnp.where(valid[:, None], maxs - mins, 0.0)
+    out_vel = jnp.where(valid[:, None], med_vel, 0.0)
+
+    objects = MovingObjects(
+        id=ids.astype(jnp.int32),
+        center=center,
+        velocity=out_vel,
+        bounding_box=bbox,
+        valid=valid,
+    )
+    label_image = jnp.where(cid == cap, -1, cid).reshape(h, w)
+    return objects, label_image

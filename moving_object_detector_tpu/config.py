@@ -1,0 +1,141 @@
+"""Configuration tree for the TPU moving-object-detection pipeline.
+
+Mirrors the reference's three-tier config system (SURVEY.md §5): the
+dynamic_reconfigure ``.cfg`` defaults become plain dataclass defaults here
+(reference: scene_flow_constructor/cfg/SceneFlowConstructor.cfg:8-9,
+scene_flow_clusterer/cfg/Clusterer.cfg:8-11,
+moving_object_tracker/cfg/MovingObjectTracker.cfg:8-10).
+
+Hot-tunable scalars (thresholds) are carried *inside* jitted functions as
+traced array arguments so retuning never triggers recompilation; structural
+knobs (capacities, window sizes, resolutions) are static and hashable so they
+participate in the jit cache key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneFlowConfig:
+    """Scene-flow construction knobs.
+
+    ``dynamic_flow_diff``: pixel distance between the measured optical flow and
+    the ego-motion-induced ("static") flow above which a pixel is labelled
+    dynamic (reference SceneFlowConstructor.cfg:8, default 5 px).
+    """
+
+    dynamic_flow_diff: float = 5.0
+    max_color_velocity: float = 1.0  # visualization-only (cfg:9)
+
+
+@dataclasses.dataclass(frozen=True)
+class ClustererConfig:
+    """Detection-stage knobs (reference Clusterer.cfg:8-11).
+
+    ``max_objects`` is new: the jit-friendly fixed capacity replacing the
+    reference's unbounded cluster vector.
+    """
+
+    cluster_size: int = 2500
+    depth_diff: float = 0.15
+    dynamic_speed: float = 0.3
+    neighbor_distance: int = 4
+    max_objects: int = 16
+    # Upper bound on label-propagation sweeps for connected components.
+    max_cc_iters: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Tracking knobs (reference MovingObjectTracker.cfg:8-10 plus the
+    hard-coded gates in moving_objects_tracker.cpp:27 and noise constants in
+    kalman_tracker.hpp:42-51)."""
+
+    covariance_trace_limit: float = 0.5
+    correction_count_limit: int = 3
+    object_radius: float = 0.5
+    # Gates hard-coded in the reference's distance<> specialization
+    # (moving_objects_tracker.cpp:27): sqrt(mahalanobis) > 3, euclid > 1.5.
+    gating_mahalanobis: float = 3.0
+    gating_deviation: float = 1.5
+    # Noise constants (kalman_tracker.hpp:42-51).
+    process_noise_pos: float = 0.003
+    process_noise_vel: float = 0.01
+    measurement_noise: float = 0.2
+    initial_cov: float = 0.1
+    min_dt: float = 0.001
+    max_tracks: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class SGMConfig:
+    """Pallas/XLA semi-global-matching stereo knobs (replaces sgm_gpu_ros,
+    SURVEY.md §2.3)."""
+
+    max_disparity: int = 128
+    p1: int = 10
+    p2: int = 120
+    census_window: Tuple[int, int] = (7, 7)  # (height, width), odd
+    num_paths: int = 4  # horizontal fwd/bwd + vertical fwd/bwd
+    lr_check: bool = True
+    lr_max_diff: float = 1.0
+    subpixel: bool = True
+    uniqueness_ratio: float = 0.95
+
+
+@dataclasses.dataclass(frozen=True)
+class EgoMotionConfig:
+    """Stereo visual odometry knobs (replaces libviso2, SURVEY.md §2.3).
+
+    Batched corner detection + pyramidal LK tracking + vmapped RANSAC +
+    Gauss-Newton pose refinement, all with static shapes.
+    """
+
+    max_features: int = 512
+    nms_radius: int = 7
+    lk_pyramid_levels: int = 3
+    lk_window: int = 7  # half-size of the LK patch
+    lk_iters: int = 8
+    ransac_hypotheses: int = 64
+    ransac_sample: int = 3
+    gn_iters_hypothesis: int = 5
+    gn_iters_refine: int = 8
+    inlier_threshold_px: float = 2.0
+    min_inliers: int = 12
+    bucket_h: int = 4  # feature bucketing grid (viso2-style, odometry_params.h)
+    bucket_w: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowNetConfig:
+    """PWC-Net-style optical-flow network (replaces pwc_net_ros + Caffe,
+    SURVEY.md §2.3)."""
+
+    pyramid_levels: int = 6
+    search_range: int = 4  # correlation max displacement
+    feature_channels: Tuple[int, ...] = (16, 32, 64, 96, 128, 196)
+    use_context_net: bool = True
+    dtype: str = "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level static configuration. Hashable: safe as a jit static arg."""
+
+    height: int = 376
+    width: int = 1242
+    scene_flow: SceneFlowConfig = dataclasses.field(default_factory=SceneFlowConfig)
+    clusterer: ClustererConfig = dataclasses.field(default_factory=ClustererConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    sgm: SGMConfig = dataclasses.field(default_factory=SGMConfig)
+    egomotion: EgoMotionConfig = dataclasses.field(default_factory=EgoMotionConfig)
+    flownet: FlowNetConfig = dataclasses.field(default_factory=FlowNetConfig)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = PipelineConfig()

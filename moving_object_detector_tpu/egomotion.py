@@ -1,0 +1,313 @@
+"""Stereo visual odometry: batched feature tracking + RANSAC + Gauss-Newton.
+
+The TPU-native replacement for libviso2 (SURVEY.md §2.3): where viso2 runs
+SSE-optimized sparse matching and sequential RANSAC on the CPU
+(scene_flow_constructor.cpp:230-244 consumes ``process()``/``getMotion()``),
+this module runs the whole estimate as fixed-shape JAX:
+
+* Harris corners on the previous left image with max-pool NMS and top-K
+  selection (the analog of viso2's bucketed feature selection,
+  odometry_params.h:15-51);
+* pyramidal Lucas-Kanade tracking into the current left image (replacing
+  viso2's circular patch matching) — vmapped over features;
+* 3D lift from the previous disparity (z = f*B/d, the same back-projection
+  the scene-flow stage uses);
+* RANSAC over vmapped 3-point Gauss-Newton pose hypotheses minimizing
+  reprojection error, then a final Gauss-Newton refinement on all inliers —
+  fixed hypothesis/iteration counts, no data-dependent control flow.
+
+Returns the camera motion M with p_now = M @ p_prev — the convention the
+reference assigns to ``transform_prev2now_`` (scene_flow_constructor.cpp:
+248-249) — plus a success flag mirroring the reference's per-stage soft-fail
+(:251-255).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .config import EgoMotionConfig
+from .ops import geometry
+from .types import CameraModel, DisparityImage
+
+
+def _box_sum(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Box-window sum via a 2D summed-area table, same-padded."""
+    pad = size // 2
+    xp = jnp.pad(x, ((pad, pad), (pad, pad)))
+    c = jnp.cumsum(jnp.cumsum(xp, axis=0), axis=1)
+    c = jnp.pad(c, ((1, 0), (1, 0)))
+    h, w = x.shape
+    return (
+        c[size : size + h, size : size + w]
+        - c[:h, size : size + w]
+        - c[size : size + h, :w]
+        + c[:h, :w]
+    )
+
+
+def harris_response(img: jnp.ndarray, window: int = 5, k: float = 0.04):
+    """Harris corner response from central-difference gradients."""
+    ix = (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)) * 0.5
+    iy = (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)) * 0.5
+    sxx = _box_sum(ix * ix, window)
+    syy = _box_sum(iy * iy, window)
+    sxy = _box_sum(ix * iy, window)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    return det - k * tr * tr
+
+
+def _nms(scores: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Keep only local maxima within a (2r+1)^2 window."""
+    size = 2 * radius + 1
+    maxed = jax.lax.reduce_window(
+        scores,
+        -jnp.inf,
+        jax.lax.max,
+        (size, size),
+        (1, 1),
+        "SAME",
+    )
+    return scores == maxed
+
+
+def select_features(
+    img: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: EgoMotionConfig,
+):
+    """Top-K Harris corners with NMS, excluding invalid pixels and borders.
+
+    Returns ((K, 2) f32 (u, v) positions, (K,) bool validity).
+    """
+    h, w = img.shape
+    scores = harris_response(img)
+    keep = _nms(scores, cfg.nms_radius) & valid & (scores > 0)
+    border = cfg.lk_window * (2 ** (cfg.lk_pyramid_levels - 1)) + 2
+    u, v = geometry.pixel_grid(h, w)
+    inside = (
+        (u >= border) & (u < w - border) & (v >= border) & (v < h - border)
+    )
+    keep = keep & inside
+    masked = jnp.where(keep, scores, -jnp.inf)
+    vals, idx = jax.lax.top_k(masked.reshape(-1), cfg.max_features)
+    feat_valid = jnp.isfinite(vals)
+    fu = (idx % w).astype(jnp.float32)
+    fv = (idx // w).astype(jnp.float32)
+    return jnp.stack([fu, fv], axis=1), feat_valid
+
+
+def build_pyramid(img: jnp.ndarray, levels: int):
+    """Average-pooled image pyramid, finest first."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        cur = pyr[-1]
+        h2, w2 = cur.shape[0] // 2 * 2, cur.shape[1] // 2 * 2
+        ds = cur[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+        pyr.append(ds)
+    return pyr
+
+
+def _lk_patch_track(prev_img, now_img, pt_prev, guess, half: int, iters: int):
+    """Single-level LK: refine ``guess`` displacement of a (2h+1)^2 patch."""
+    size = 2 * half + 1
+    dy, dx = jnp.mgrid[-half : half + 1, -half : half + 1]
+    offs = jnp.stack([dx, dy], axis=-1).reshape(-1, 2).astype(jnp.float32)
+    coords0 = pt_prev[None, :] + offs  # (P, 2) in prev image
+
+    template = geometry.bilinear_sample(prev_img, coords0)
+    # Template gradients via central differences on the sampled patch grid.
+    gx = (
+        geometry.bilinear_sample(prev_img, coords0 + jnp.array([1.0, 0.0]))
+        - geometry.bilinear_sample(prev_img, coords0 - jnp.array([1.0, 0.0]))
+    ) * 0.5
+    gy = (
+        geometry.bilinear_sample(prev_img, coords0 + jnp.array([0.0, 1.0]))
+        - geometry.bilinear_sample(prev_img, coords0 - jnp.array([0.0, 1.0]))
+    ) * 0.5
+    gxx = jnp.sum(gx * gx)
+    gxy = jnp.sum(gx * gy)
+    gyy = jnp.sum(gy * gy)
+    det = gxx * gyy - gxy * gxy
+    inv_ok = jnp.abs(det) > 1e-6
+    safe_det = jnp.where(inv_ok, det, 1.0)
+    h_inv = (
+        jnp.array([[gyy, -gxy], [-gxy, gxx]], jnp.float32) / safe_det
+    )
+
+    def body(_, d):
+        cur = geometry.bilinear_sample(now_img, coords0 + d[None, :])
+        err = cur - template
+        b = jnp.array([jnp.sum(err * gx), jnp.sum(err * gy)], jnp.float32)
+        step = h_inv @ b
+        return d - step
+
+    disp = jax.lax.fori_loop(0, iters, body, guess)
+    disp = jnp.where(inv_ok, disp, guess)
+    return disp
+
+
+def lk_track(
+    prev_img: jnp.ndarray,
+    now_img: jnp.ndarray,
+    pts: jnp.ndarray,
+    cfg: EgoMotionConfig,
+):
+    """Pyramidal LK: track (K, 2) points prev -> now.
+
+    Returns ((K, 2) tracked positions, (K,) bool tracked-in-bounds).
+    """
+    levels = cfg.lk_pyramid_levels
+    pyr_prev = build_pyramid(prev_img, levels)
+    pyr_now = build_pyramid(now_img, levels)
+
+    disp = jnp.zeros_like(pts)
+    for lvl in range(levels - 1, -1, -1):
+        scale = 2.0**lvl
+        track_lvl = jax.vmap(
+            lambda p, d: _lk_patch_track(
+                pyr_prev[lvl], pyr_now[lvl], p, d, cfg.lk_window, cfg.lk_iters
+            )
+        )
+        disp = track_lvl(pts / scale, disp) * (2.0 if lvl > 0 else 1.0)
+    tracked = pts + disp
+    h, w = prev_img.shape
+    ok = (
+        (tracked[:, 0] >= 0)
+        & (tracked[:, 0] <= w - 1)
+        & (tracked[:, 1] >= 0)
+        & (tracked[:, 1] <= h - 1)
+    )
+    return tracked, ok
+
+
+def _reprojection_residuals(tf, pts3d, obs_uv, cam: CameraModel):
+    """(N, 2) residuals pi(M @ X) - x and (N,) positive-depth mask."""
+    p = geometry.transform_points(tf, pts3d)
+    z = p[..., 2]
+    ok = z > 0.1
+    safe_z = jnp.where(ok, z, 1.0)
+    u = cam.fx * p[..., 0] / safe_z + cam.cx
+    v = cam.fy * p[..., 1] / safe_z + cam.cy
+    res = jnp.stack([u, v], axis=-1) - obs_uv
+    return res, p, ok
+
+
+def _gn_step(tf, pts3d, obs_uv, weights, cam: CameraModel, damping=1e-4):
+    """One damped Gauss-Newton update on the 6-dof left-increment twist."""
+    res, p, ok = _reprojection_residuals(tf, pts3d, obs_uv, cam)
+    w = weights * ok
+    z = jnp.where(ok, p[..., 2], 1.0)
+    x, y = p[..., 0], p[..., 1]
+    inv_z = 1.0 / z
+    # du/dp, dv/dp (pinhole), then dp/dxi = [-[p]x | I].
+    du_dp = jnp.stack(
+        [cam.fx * inv_z, jnp.zeros_like(z), -cam.fx * x * inv_z * inv_z], -1
+    )
+    dv_dp = jnp.stack(
+        [jnp.zeros_like(z), cam.fy * inv_z, -cam.fy * y * inv_z * inv_z], -1
+    )
+    zeros = jnp.zeros_like(z)
+    dp_dxi = jnp.stack(
+        [
+            jnp.stack([zeros, p[..., 2], -p[..., 1], jnp.ones_like(z), zeros, zeros], -1),
+            jnp.stack([-p[..., 2], zeros, p[..., 0], zeros, jnp.ones_like(z), zeros], -1),
+            jnp.stack([p[..., 1], -p[..., 0], zeros, zeros, zeros, jnp.ones_like(z)], -1),
+        ],
+        axis=-2,
+    )  # (N, 3, 6)
+    j_u = jnp.einsum("ni,nij->nj", du_dp, dp_dxi)  # (N, 6)
+    j_v = jnp.einsum("ni,nij->nj", dv_dp, dp_dxi)
+    jac = jnp.stack([j_u, j_v], axis=1)  # (N, 2, 6)
+    r = res  # (N, 2)
+    jtj = jnp.einsum("nri,nrj,n->ij", jac, jac, w)
+    jtr = jnp.einsum("nri,nr,n->i", jac, r, w)
+    jtj = jtj + damping * jnp.eye(6, dtype=jnp.float32)
+    xi = -jnp.linalg.solve(jtj, jtr)
+    return geometry.se3_exp(xi) @ tf
+
+
+def _solve_pose(pts3d, obs_uv, weights, cam, iters: int):
+    def body(_, tf):
+        return _gn_step(tf, pts3d, obs_uv, weights, cam)
+
+    return jax.lax.fori_loop(0, iters, body, jnp.eye(4, dtype=jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def estimate_motion(
+    prev_left: jnp.ndarray,
+    now_left: jnp.ndarray,
+    disparity_prev: DisparityImage,
+    cam: CameraModel,
+    key: jnp.ndarray,
+    cfg: EgoMotionConfig = EgoMotionConfig(),
+):
+    """Estimate the camera motion M (p_now = M @ p_prev) between two frames.
+
+    Mirrors the contract of estimateCameraMotion
+    (scene_flow_constructor.cpp:214-256): on failure the caller must treat
+    the frame's velocities as unavailable.
+
+    Returns (motion 4x4 f32, success bool, inlier_count int32).
+    """
+    # 1. Features on the previous frame where the previous disparity is valid.
+    depth_prev = geometry.disparity_to_depth(disparity_prev)
+    pts, feat_valid = select_features(
+        prev_left, jnp.isfinite(depth_prev), cfg
+    )
+
+    # 2. 3D lift at feature pixels (nearest-pixel disparity, like viso2).
+    ui = jnp.round(pts[:, 0]).astype(jnp.int32)
+    vi = jnp.round(pts[:, 1]).astype(jnp.int32)
+    z, zin = geometry.gather_pixels(depth_prev, ui, vi)
+    feat_valid = feat_valid & zin & jnp.isfinite(z)
+    z = jnp.where(jnp.isfinite(z), z, 1.0)
+    x3 = (pts[:, 0] - cam.cx) / cam.fx * z
+    y3 = (pts[:, 1] - cam.cy) / cam.fy * z
+    pts3d = jnp.stack([x3, y3, z], axis=1)
+
+    # 3. Track into the current frame.
+    tracked, track_ok = lk_track(prev_left, now_left, pts, cfg)
+    feat_valid = feat_valid & track_ok
+
+    # 4. RANSAC: vmapped 3-point Gauss-Newton hypotheses.
+    n = cfg.max_features
+    weights_all = feat_valid.astype(jnp.float32)
+
+    def one_hypothesis(k):
+        # Weighted sampling without replacement over valid features.
+        idx = jax.random.choice(
+            k, n, shape=(cfg.ransac_sample,), replace=False,
+            p=weights_all / jnp.maximum(weights_all.sum(), 1.0),
+        )
+        tf = _solve_pose(
+            pts3d[idx], tracked[idx], jnp.ones((cfg.ransac_sample,)), cam,
+            cfg.gn_iters_hypothesis,
+        )
+        res, _, ok = _reprojection_residuals(tf, pts3d, tracked, cam)
+        err = jnp.linalg.norm(res, axis=-1)
+        inlier = feat_valid & ok & (err < cfg.inlier_threshold_px)
+        return tf, inlier, inlier.sum()
+
+    keys = jax.random.split(key, cfg.ransac_hypotheses)
+    tfs, inliers, counts = jax.vmap(one_hypothesis)(keys)
+    best = jnp.argmax(counts)
+    best_inliers = inliers[best]
+
+    # 5. Final refinement on the best inlier set.
+    tf = _solve_pose(
+        pts3d, tracked, best_inliers.astype(jnp.float32), cam,
+        cfg.gn_iters_refine,
+    )
+    res, _, ok = _reprojection_residuals(tf, pts3d, tracked, cam)
+    err = jnp.linalg.norm(res, axis=-1)
+    final_inliers = feat_valid & ok & (err < cfg.inlier_threshold_px)
+    count = final_inliers.sum()
+    success = count >= cfg.min_inliers
+    motion = jnp.where(success, tf, jnp.eye(4, dtype=jnp.float32))
+    return motion, success, count.astype(jnp.int32)

@@ -1,0 +1,202 @@
+"""Clustering tests: connected-component semantics, size filtering, AABB and
+median-velocity extraction (clusterer_nodelet.cpp:40-393)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from moving_object_detector_tpu.clusterer import cluster_scene_flow
+from moving_object_detector_tpu.config import ClustererConfig
+from moving_object_detector_tpu.ops.clustering import connected_components
+from moving_object_detector_tpu.types import SceneFlowCloud
+
+CFG = ClustererConfig(cluster_size=4, max_objects=8)
+
+
+def make_cloud(h=24, w=32):
+    pts = np.full((h, w, 3), np.nan, np.float32)
+    vel = np.full((h, w, 3), np.nan, np.float32)
+    return pts, vel
+
+
+def fill_block(pts, vel, y0, y1, x0, x1, z, v):
+    ys, xs = np.mgrid[y0:y1, x0:x1]
+    pts[y0:y1, x0:x1, 0] = xs * 0.01
+    pts[y0:y1, x0:x1, 1] = ys * 0.01
+    pts[y0:y1, x0:x1, 2] = z
+    vel[y0:y1, x0:x1] = v
+
+
+def run(pts, vel, cfg=CFG):
+    cloud = SceneFlowCloud(points=jnp.asarray(pts), velocity=jnp.asarray(vel))
+    objects, label_image = cluster_scene_flow(cloud, cfg)
+    return objects, np.asarray(label_image)
+
+
+def test_single_block_detected():
+    pts, vel = make_cloud()
+    fill_block(pts, vel, 4, 10, 5, 13, z=2.0, v=[1.0, 0.0, 0.0])
+    objects, labels = run(pts, vel)
+    valid = np.asarray(objects.valid)
+    assert valid.sum() == 1
+    i = valid.argmax()
+    np.testing.assert_allclose(np.asarray(objects.velocity)[i], [1, 0, 0], atol=1e-6)
+    # AABB center: x in [0.05, 0.12], y in [0.04, 0.09], z = 2
+    np.testing.assert_allclose(
+        np.asarray(objects.center)[i],
+        [(0.05 + 0.12) / 2, (0.04 + 0.09) / 2, 2.0],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(objects.bounding_box)[i], [0.07, 0.05, 0.0], atol=1e-5
+    )
+    assert (labels[4:10, 5:13] == labels[4, 5]).all()
+    assert labels[4, 5] >= 0
+
+
+def test_slow_pixels_not_clustered():
+    pts, vel = make_cloud()
+    fill_block(pts, vel, 4, 10, 5, 13, z=2.0, v=[0.1, 0.0, 0.0])  # < 0.3 m/s
+    objects, labels = run(pts, vel)
+    assert not np.asarray(objects.valid).any()
+    assert (labels == -1).all()
+
+
+def test_depth_gate_splits_clusters():
+    """Adjacent pixels further apart than depth_diff in z form two clusters."""
+    pts, vel = make_cloud()
+    fill_block(pts, vel, 4, 10, 5, 10, z=2.0, v=[1.0, 0.0, 0.0])
+    fill_block(pts, vel, 4, 10, 10, 15, z=3.0, v=[0.0, 1.0, 0.0])  # dz=1 > 0.15
+    objects, labels = run(pts, vel)
+    assert np.asarray(objects.valid).sum() == 2
+    assert labels[5, 7] != labels[5, 12]
+
+
+def test_distant_blocks_with_gap_beyond_neighbor_distance():
+    pts, vel = make_cloud()
+    fill_block(pts, vel, 4, 10, 2, 8, z=2.0, v=[1.0, 0.0, 0.0])
+    fill_block(pts, vel, 4, 10, 14, 20, z=2.0, v=[1.0, 0.0, 0.0])  # gap 6 > 4
+    objects, labels = run(pts, vel)
+    assert np.asarray(objects.valid).sum() == 2
+    assert labels[5, 4] != labels[5, 16]
+
+
+def test_blocks_within_neighbor_distance_merge():
+    pts, vel = make_cloud()
+    fill_block(pts, vel, 4, 10, 2, 8, z=2.0, v=[1.0, 0.0, 0.0])
+    fill_block(pts, vel, 4, 10, 10, 16, z=2.0, v=[1.0, 0.0, 0.0])  # gap 2 <= 4
+    objects, labels = run(pts, vel)
+    assert np.asarray(objects.valid).sum() == 1
+    assert labels[5, 4] == labels[5, 12]
+
+
+def test_small_cluster_removed():
+    pts, vel = make_cloud()
+    fill_block(pts, vel, 4, 5, 5, 8, z=2.0, v=[1.0, 0.0, 0.0])  # 3 px < 4
+    objects, _ = run(pts, vel)
+    assert not np.asarray(objects.valid).any()
+
+
+def test_median_velocity_descending_rank():
+    """Median = element at size/2 of the norm-descending sort
+    (clusterer_nodelet.cpp:168-174): 4 members with norms
+    [1, 2, 3, 10] sorted desc [10, 3, 2, 1] -> index 2 -> norm 2."""
+    pts, vel = make_cloud()
+    fill_block(pts, vel, 4, 5, 5, 9, z=2.0, v=[0.0, 0.0, 0.0])
+    vel[4, 5] = [10.0, 0, 0]
+    vel[4, 6] = [3.0, 0, 0]
+    vel[4, 7] = [2.0, 0, 0]
+    vel[4, 8] = [1.0, 0, 0]
+    objects, _ = run(pts, vel)
+    valid = np.asarray(objects.valid)
+    assert valid.sum() == 1
+    np.testing.assert_allclose(
+        np.asarray(objects.velocity)[valid.argmax()], [2.0, 0, 0], atol=1e-6
+    )
+
+
+def test_median_regate_drops_cluster():
+    """If the median velocity is below dynamic_speed the cluster is dropped
+    even though its pixels individually passed (:176-177).
+
+    A cluster of fast-but-mostly-minimal pixels: all at exactly 0.3 passes
+    (>=); craft one where the median lands on a pixel whose full vector norm
+    is below threshold is impossible post-gate, so instead verify the >= gate
+    keeps an all-threshold cluster."""
+    pts, vel = make_cloud()
+    fill_block(pts, vel, 4, 8, 5, 9, z=2.0, v=[0.3, 0.0, 0.0])
+    objects, _ = run(pts, vel)
+    assert np.asarray(objects.valid).sum() == 1
+
+
+def test_mixed_sign_diagonal_not_connected():
+    """The reference's scan window only links same-sign offsets: a chain of
+    up-right (mixed-sign) diagonal steps must NOT merge."""
+    h, w = 16, 16
+    pts = np.full((h, w, 3), np.nan, np.float32)
+    vel = np.full((h, w, 3), np.nan, np.float32)
+    # Two pixels diagonal up-right of each other, k=1 to make it sharp.
+    for (y, x) in [(8, 4), (7, 5)]:  # (7,5) is up-right of (8,4)
+        pts[y, x] = [x * 0.01, y * 0.01, 2.0]
+        vel[y, x] = [1.0, 0.0, 0.0]
+    dynamic = jnp.asarray(np.isfinite(vel[..., 0]))
+    labels = np.asarray(
+        connected_components(
+            dynamic, jnp.asarray(pts[..., 2]), jnp.float32(0.15),
+            neighbor_distance=1, max_iters=16,
+        )
+    )
+    assert labels[8, 4] != labels[7, 5]
+    # But down-right diagonal does connect.
+    pts2 = pts.copy(); vel2 = vel.copy()
+    pts2[7, 5] = np.nan; vel2[7, 5] = np.nan
+    pts2[9, 5] = [0.05, 0.09, 2.0]; vel2[9, 5] = [1.0, 0, 0]
+    dynamic2 = jnp.asarray(np.isfinite(vel2[..., 0]))
+    labels2 = np.asarray(
+        connected_components(
+            dynamic2, jnp.asarray(pts2[..., 2]), jnp.float32(0.15),
+            neighbor_distance=1, max_iters=16,
+        )
+    )
+    assert labels2[8, 4] == labels2[9, 5]
+
+
+def test_snake_component_converges():
+    """A long winding 1-px-wide path exercises the propagation/pointer-jump
+    convergence."""
+    h, w = 20, 40
+    pts = np.full((h, w, 3), np.nan, np.float32)
+    vel = np.full((h, w, 3), np.nan, np.float32)
+    path = []
+    y = 0
+    for x in range(w):
+        path.append((y, x))
+    for y in range(1, h):
+        path.append((y, w - 1) if y % 2 == 1 else (y, 0))
+        xs = range(w - 1, -1, -1) if y % 2 == 1 else range(w)
+        for x in xs:
+            path.append((y, x))
+    for (y, x) in path:
+        pts[y, x] = [x * 0.01, y * 0.01, 2.0]
+        vel[y, x] = [1.0, 0.0, 0.0]
+    dynamic = jnp.asarray(np.isfinite(vel[..., 0]))
+    labels = np.asarray(
+        connected_components(
+            dynamic, jnp.asarray(pts[..., 2]), jnp.float32(0.15),
+            neighbor_distance=1, max_iters=256,
+        )
+    )
+    member_labels = labels[np.isfinite(vel[..., 0])]
+    assert (member_labels == member_labels[0]).all()
+
+
+def test_capacity_overflow_keeps_first_clusters():
+    cfg = dataclasses.replace(CFG, max_objects=2, cluster_size=2)
+    pts, vel = make_cloud(16, 60)
+    for i in range(4):
+        fill_block(pts, vel, 2, 6, i * 14 + 2, i * 14 + 6, z=2.0, v=[1.0, 0, 0])
+    objects, _ = run(pts, vel, cfg)
+    assert np.asarray(objects.valid).sum() == 2  # first two in raster order
+    ids = np.asarray(objects.id)
+    assert set(ids[np.asarray(objects.valid)]) == {0, 1}
