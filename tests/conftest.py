@@ -1,20 +1,30 @@
-"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+"""Test harness bootstrap.
 
-Multi-chip sharding tests run on fake CPU devices per SURVEY.md §4 (the
-driver separately dry-runs the multichip path); unit tests don't need the
-real TPU and must not grab it.
+Two jobs, both of which must happen before JAX initializes:
+
+1. Unit tests run on a virtual 8-device CPU mesh (SURVEY.md §4) — they must
+   not claim the real TPU chip.
+2. The ambient environment injects a TPU-plugin registration hook via
+   ``sitecustomize`` (PYTHONPATH=/root/.axon_site) whose network round-trips
+   randomly stall *CPU-only* processes for minutes. Since the hook already
+   ran by the time conftest is imported, re-exec the interpreter once with a
+   cleaned environment; the re-exec costs ~0.1 s and makes the suite's
+   startup deterministic (~3 s instead of up to 10 min).
 """
 
 import os
 
-# Force-set: the ambient environment pins JAX_PLATFORMS to the real TPU
-# (axon); unit tests must not grab the chip.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Safety net if the bootstrap plugin didn't load (e.g. pytest invoked with a
+# config that skips pyproject addopts): at minimum keep tests off the real
+# TPU and provide the virtual device mesh. The re-exec itself lives in
+# modt_test_bootstrap.py (see its docstring for why).
+if os.environ.get("MODT_TESTS_REEXECED") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import numpy as np
 import pytest

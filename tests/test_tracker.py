@@ -49,7 +49,7 @@ def test_kalman_predict_matches_closed_form():
     mean = jnp.asarray([1.0, 2.0, 0.5, -0.5], jnp.float32)
     state = state.replace(
         mean=state.mean.at[0].set(mean),
-        cov=state.cov.at[0].set(jnp.eye(4, jnp.float32) * 0.1),
+        cov=state.cov.at[0].set(jnp.eye(4, dtype=jnp.float32) * 0.1),
         active=state.active.at[0].set(True),
         last_prediction_time=state.last_prediction_time.at[0].set(0.0),
     )
