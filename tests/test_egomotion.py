@@ -1,0 +1,148 @@
+"""Ego-motion tests: recover a known camera motion from a synthetic textured
+plane warped by the exact plane homography."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moving_object_detector_tpu.config import EgoMotionConfig
+from moving_object_detector_tpu import egomotion
+from moving_object_detector_tpu.ops import geometry
+from moving_object_detector_tpu.types import CameraModel, DisparityImage
+
+H, W = 96, 128
+FX = FY = 150.0
+CX, CY = W / 2.0, H / 2.0
+CAM = CameraModel.create(FX, FY, CX, CY)
+BASELINE = 0.5
+Z0 = 5.0
+
+CFG = EgoMotionConfig(
+    max_features=128,
+    nms_radius=4,
+    ransac_hypotheses=32,
+    lk_pyramid_levels=2,
+    min_inliers=10,
+)
+
+
+def textured(rng):
+    """Blocky random texture: strong corners every ~8 px for Harris."""
+    img = np.kron(
+        rng.uniform(0.0, 1.0, (H // 8, W // 8)).astype(np.float32),
+        np.ones((8, 8), np.float32),
+    )
+    k = np.array([0.25, 0.5, 0.25])
+    for _ in range(2):
+        img = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, img)
+        img = np.apply_along_axis(lambda c: np.convolve(c, k, mode="same"), 0, img)
+    return img
+
+
+def k_matrix():
+    return np.array([[FX, 0, CX], [0, FY, CY], [0, 0, 1.0]])
+
+
+def warp_by_motion(prev, rot, t):
+    """Synthesize the current frame seen after camera motion (p_now = R p_prev
+    + t) for a fronto-parallel plane at depth Z0, via the plane homography."""
+    k = k_matrix()
+    n = np.array([0.0, 0.0, 1.0])
+    h_mat = k @ (rot + np.outer(t, n) / Z0) @ np.linalg.inv(k)
+    h_inv = np.linalg.inv(h_mat)
+    uu, vv = np.meshgrid(np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64))
+    ones = np.ones_like(uu)
+    pix = np.stack([uu, vv, ones], axis=-1) @ h_inv.T
+    src = pix[..., :2] / pix[..., 2:3]
+    coords = jnp.asarray(src.reshape(-1, 2), jnp.float32)
+    now = geometry.bilinear_sample(jnp.asarray(prev), coords)
+    return np.asarray(now).reshape(H, W).astype(np.float32)
+
+
+def run_case(rng, rotvec, t):
+    prev = textured(rng)
+    rot = np.asarray(geometry.so3_exp(jnp.asarray(rotvec, jnp.float32)))
+    now = warp_by_motion(prev, rot, np.asarray(t))
+    d = FX * BASELINE / Z0
+    disp = DisparityImage.create(
+        np.full((H, W), d, np.float32), f=FX, t=BASELINE,
+        min_disparity=0.0, max_disparity=128.0,
+    )
+    motion, success, count = egomotion.estimate_motion(
+        jnp.asarray(prev), jnp.asarray(now), disp, CAM,
+        jax.random.PRNGKey(0), CFG,
+    )
+    return np.asarray(motion), bool(success), int(count), rot
+
+
+def test_pure_lateral_translation(rng):
+    t = [0.05, 0.0, 0.0]
+    motion, success, count, rot = run_case(rng, [0, 0, 0], t)
+    assert success and count >= 20
+    np.testing.assert_allclose(motion[:3, :3], np.eye(3), atol=5e-3)
+    np.testing.assert_allclose(motion[:3, 3], t, atol=8e-3)
+
+
+def test_forward_translation(rng):
+    t = [0.0, 0.0, 0.1]
+    motion, success, count, rot = run_case(rng, [0, 0, 0], t)
+    assert success
+    np.testing.assert_allclose(motion[:3, :3], np.eye(3), atol=5e-3)
+    np.testing.assert_allclose(motion[:3, 3], t, atol=0.02)
+
+
+def test_rotation_and_translation(rng):
+    rotvec = [0.004, -0.008, 0.005]
+    t = [0.02, -0.015, 0.04]
+    motion, success, count, rot = run_case(rng, rotvec, t)
+    assert success
+    np.testing.assert_allclose(motion[:3, :3], rot, atol=6e-3)
+    np.testing.assert_allclose(motion[:3, 3], t, atol=0.02)
+
+
+def test_identity_motion(rng):
+    motion, success, count, _ = run_case(rng, [0, 0, 0], [0, 0, 0])
+    assert success
+    np.testing.assert_allclose(motion, np.eye(4), atol=3e-3)
+
+
+def test_failure_without_texture():
+    """A uniform image has no corners: the estimator must report failure and
+    return identity (the reference's soft-fail contract,
+    scene_flow_constructor.cpp:251-255)."""
+    flat = np.full((H, W), 0.5, np.float32)
+    disp = DisparityImage.create(
+        np.full((H, W), FX * BASELINE / Z0, np.float32), f=FX, t=BASELINE,
+        min_disparity=0.0, max_disparity=128.0,
+    )
+    motion, success, count = egomotion.estimate_motion(
+        jnp.asarray(flat), jnp.asarray(flat), disp, CAM,
+        jax.random.PRNGKey(0), CFG,
+    )
+    assert not bool(success)
+    np.testing.assert_allclose(np.asarray(motion), np.eye(4), atol=1e-6)
+
+
+def test_lk_tracks_known_shift(rng):
+    prev = textured(rng)
+    shift = 3.0
+    now = np.roll(prev, -3, axis=1)  # now(u) = prev(u + 3): features move -3 px
+    pts, valid = egomotion.select_features(
+        jnp.asarray(prev), jnp.ones((H, W), bool), CFG
+    )
+    tracked, ok = egomotion.lk_track(
+        jnp.asarray(prev), jnp.asarray(now), pts, CFG
+    )
+    good = np.asarray(valid & ok)
+    drift = np.asarray(tracked - pts)[good]
+    assert good.sum() > 20
+    med = np.median(drift, axis=0)
+    np.testing.assert_allclose(med, [-shift, 0.0], atol=0.15)
+
+
+def test_harris_finds_corner():
+    img = np.zeros((64, 64), np.float32)
+    img[20:, 30:] = 1.0  # a single L-corner at (30, 20)
+    resp = np.asarray(egomotion.harris_response(jnp.asarray(img)))
+    v, u = np.unravel_index(np.argmax(resp), resp.shape)
+    assert abs(u - 30) <= 2 and abs(v - 20) <= 2

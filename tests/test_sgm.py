@@ -1,0 +1,149 @@
+"""SGM stereo tests on synthetic scenes with known disparities."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from moving_object_detector_tpu.config import SGMConfig
+from moving_object_detector_tpu.ops import sgm
+from moving_object_detector_tpu.types import StereoModel
+
+CFG = SGMConfig(max_disparity=32, census_window=(5, 5))
+STEREO = StereoModel.create(fx=100.0, fy=100.0, cx=32.0, cy=24.0, baseline=0.5)
+
+
+def textured_image(h, w, rng):
+    """Smooth random texture so census windows are discriminative."""
+    img = rng.uniform(0.0, 1.0, (h, w)).astype(np.float32)
+    # light blur to create gradients
+    k = np.array([0.25, 0.5, 0.25])
+    img = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, img)
+    img = np.apply_along_axis(lambda c: np.convolve(c, k, mode="same"), 0, img)
+    return img
+
+
+def shift_right_image(left, disp):
+    """right(x) = left(x + d) for constant integer d (point at left x maps to
+    right x - d)."""
+    right = np.zeros_like(left)
+    d = int(disp)
+    if d > 0:
+        right[:, :-d] = left[:, d:]
+        right[:, -d:] = left[:, -d:]
+    else:
+        right[:] = left
+    return right
+
+
+def test_constant_disparity_plane(rng):
+    h, w, d_true = 48, 64, 7
+    left = textured_image(h, w, rng)
+    right = shift_right_image(left, d_true)
+    out = sgm.compute_disparity(jnp.asarray(left), jnp.asarray(right), STEREO, CFG)
+    disp = np.asarray(out.disparity)
+    valid = disp >= 0
+    # Central crop: borders may fail the LR check.
+    crop = disp[8:-8, 12:-12]
+    cropv = crop[crop >= 0]
+    assert (crop >= 0).mean() > 0.9
+    assert np.abs(cropv - d_true).mean() < 0.5
+    assert (np.abs(cropv - d_true) <= 1.0).mean() > 0.95
+
+
+def test_two_depth_layers(rng):
+    """Left half at disparity 4, right half at disparity 12."""
+    h, w = 48, 96
+    d_a, d_b = 4, 12
+    left = textured_image(h, w, rng)
+    right = np.zeros_like(left)
+    # Build right image region-wise from the left (approximation with a
+    # seam; evaluate away from the seam).
+    right[:, : w // 2] = np.roll(left, -d_a, axis=1)[:, : w // 2]
+    right[:, w // 2 :] = np.roll(left, -d_b, axis=1)[:, w // 2 :]
+    out = sgm.compute_disparity(jnp.asarray(left), jnp.asarray(right), STEREO, CFG)
+    disp = np.asarray(out.disparity)
+    region_a = disp[8:-8, 16 : w // 2 - 8]
+    region_b = disp[8:-8, w // 2 + 16 : -8]
+    va = region_a[region_a >= 0]
+    vb = region_b[region_b >= 0]
+    assert np.abs(np.median(va) - d_a) <= 1.0
+    assert np.abs(np.median(vb) - d_b) <= 1.0
+
+
+def test_census_transform_properties():
+    img = jnp.asarray(
+        np.array(
+            [[1, 2, 3, 4, 5]] * 5,
+            np.float32,
+        )
+    )
+    c = np.asarray(sgm.census_transform(img, (3, 3)))
+    # Flat vertical structure: bits only from horizontal comparisons.
+    assert c.dtype == np.int32
+    # A uniform image has zero census signature everywhere.
+    flat = jnp.ones((8, 8), jnp.float32)
+    assert (np.asarray(sgm.census_transform(flat, (5, 5))) == 0).all()
+
+
+def test_hamming_cost_zero_at_true_disparity(rng):
+    h, w, d_true = 16, 32, 5
+    left = textured_image(h, w, rng)
+    right = shift_right_image(left, d_true)
+    cl = sgm.census_transform(jnp.asarray(left), (5, 5))
+    cr = sgm.census_transform(jnp.asarray(right), (5, 5))
+    vol = np.asarray(sgm.hamming_cost_volume(cl, cr, 8))
+    # Interior pixels: cost at d_true is minimal (census of shifted image
+    # matches except at window borders).
+    interior = vol[4:-4, 12:-4, :]
+    best = interior.argmin(-1)
+    assert (best == d_true).mean() > 0.9
+
+
+def test_dp_step_penalties():
+    """DP recurrence: L(d) = C(d) + min(prev(d), prev(d±1)+P1, min_prev+P2)
+    - min_prev, checked against a hand computation."""
+    prev = jnp.asarray([[5.0, 1.0, 4.0, 9.0]])
+    cost = jnp.asarray([[1.0, 1.0, 1.0, 1.0]])
+    out = np.asarray(sgm._dp_step(prev, cost, p1=2.0, p2=10.0))
+    # min_prev = 1.
+    # d=0: min(5, 1+2(from d=1), inf, 1+10) = 3 -> 1 + 3 - 1 = 3
+    # d=1: min(1, 5+2, 4+2, 11) = 1 -> 1
+    # d=2: min(4, 1+2, 9+2, 11) = 3 -> 3
+    # d=3: min(9, 4+2, inf, 11) = 6 -> 6
+    np.testing.assert_allclose(out[0], [3.0, 1.0, 3.0, 6.0])
+
+
+def test_lr_check_invalidates_occlusion(rng):
+    """A disparity discontinuity creates occluded pixels; LR check must mark
+    some pixels invalid near the seam, and the metadata gates them."""
+    h, w = 48, 96
+    left = textured_image(h, w, rng)
+    right = np.zeros_like(left)
+    right[:, : w // 2] = np.roll(left, -2, axis=1)[:, : w // 2]
+    right[:, w // 2 :] = np.roll(left, -14, axis=1)[:, w // 2 :]
+    out = sgm.compute_disparity(jnp.asarray(left), jnp.asarray(right), STEREO, CFG)
+    disp = np.asarray(out.disparity)
+    assert (disp < 0).any()
+    # Invalid pixels fail the DisparityImage validity gate.
+    vm = np.asarray(out.valid_mask())
+    assert not vm[disp < 0].any()
+
+
+def test_subpixel_fractional_disparity(rng):
+    """A fractional true disparity (bilinear-resampled right image) should
+    yield subpixel estimates clustered near it."""
+    h, w = 48, 64
+    d_true = 6.5
+    left = textured_image(h, w, rng)
+    x = np.arange(w)
+    right = np.stack(
+        [np.interp(x + d_true, x, row) for row in left]
+    ).astype(np.float32)
+    out = sgm.compute_disparity(jnp.asarray(left), jnp.asarray(right), STEREO, CFG)
+    disp = np.asarray(out.disparity)
+    crop = disp[8:-8, 16:-8]
+    v = crop[crop >= 0]
+    assert np.abs(np.median(v) - d_true) < 0.5
+    # Subpixel: a meaningful share of estimates are non-integer.
+    assert (np.abs(v - np.round(v)) > 0.05).mean() > 0.3
