@@ -80,7 +80,12 @@ def select_features(
     valid: jnp.ndarray,
     cfg: EgoMotionConfig,
 ):
-    """Top-K Harris corners with NMS, excluding invalid pixels and borders.
+    """Bucketed top-K Harris corners with NMS.
+
+    Features are capped per spatial bucket (viso2-style bucketing,
+    odometry_params.h:26-29) so a corner-dense moving object cannot dominate
+    the feature set and hijack the RANSAC consensus; the static background,
+    covering most buckets, outvotes it.
 
     Returns ((K, 2) f32 (u, v) positions, (K,) bool validity).
     """
@@ -94,10 +99,35 @@ def select_features(
     )
     keep = keep & inside
     masked = jnp.where(keep, scores, -jnp.inf)
-    vals, idx = jax.lax.top_k(masked.reshape(-1), cfg.max_features)
+
+    nb = cfg.bucket_h * cfg.bucket_w
+    per_bucket = max(1, cfg.max_features // nb)
+    # Pad to bucket multiples, regroup into (buckets, cells), top-k each.
+    ph = (-h) % cfg.bucket_h
+    pw = (-w) % cfg.bucket_w
+    padded = jnp.pad(masked, ((0, ph), (0, pw)), constant_values=-jnp.inf)
+    hp, wp = padded.shape
+    bh, bw = hp // cfg.bucket_h, wp // cfg.bucket_w
+    flat_idx = jnp.arange(hp * wp, dtype=jnp.int32).reshape(hp, wp)
+    grouped = padded.reshape(cfg.bucket_h, bh, cfg.bucket_w, bw)
+    grouped = grouped.transpose(0, 2, 1, 3).reshape(nb, bh * bw)
+    gidx = flat_idx.reshape(cfg.bucket_h, bh, cfg.bucket_w, bw)
+    gidx = gidx.transpose(0, 2, 1, 3).reshape(nb, bh * bw)
+    bvals, bpos = jax.lax.top_k(grouped, per_bucket)  # (nb, per_bucket)
+    bidx = jnp.take_along_axis(gidx, bpos, axis=1)
+    # Global top-K over the bucketed candidates.
+    cand_vals = bvals.reshape(-1)
+    cand_idx = bidx.reshape(-1)
+    k = min(cfg.max_features, cand_vals.shape[0])
+    vals, pos = jax.lax.top_k(cand_vals, k)
+    idx = cand_idx[pos]
+    if k < cfg.max_features:
+        pad_n = cfg.max_features - k
+        vals = jnp.concatenate([vals, jnp.full((pad_n,), -jnp.inf)])
+        idx = jnp.concatenate([idx, jnp.zeros((pad_n,), jnp.int32)])
     feat_valid = jnp.isfinite(vals)
-    fu = (idx % w).astype(jnp.float32)
-    fv = (idx // w).astype(jnp.float32)
+    fu = (idx % wp).astype(jnp.float32)
+    fv = (idx // wp).astype(jnp.float32)
     return jnp.stack([fu, fv], axis=1), feat_valid
 
 
@@ -299,10 +329,19 @@ def estimate_motion(
     best = jnp.argmax(counts)
     best_inliers = inliers[best]
 
-    # 5. Final refinement on the best inlier set.
+    # 5. Final refinement on the best inlier set, then a second pass on a
+    # tightened inlier set: features whose LK track was corrupted near
+    # moving-object boundaries can slip inside the RANSAC gate and bias the
+    # first solution; re-gating at half the threshold removes them.
     tf = _solve_pose(
         pts3d, tracked, best_inliers.astype(jnp.float32), cam,
         cfg.gn_iters_refine,
+    )
+    res, _, ok = _reprojection_residuals(tf, pts3d, tracked, cam)
+    err = jnp.linalg.norm(res, axis=-1)
+    tight = feat_valid & ok & (err < 0.5 * cfg.inlier_threshold_px)
+    tf = _solve_pose(
+        pts3d, tracked, tight.astype(jnp.float32), cam, cfg.gn_iters_refine
     )
     res, _, ok = _reprojection_residuals(tf, pts3d, tracked, cam)
     err = jnp.linalg.norm(res, axis=-1)

@@ -1,0 +1,176 @@
+"""PWC-Net-style dense optical flow in Flax.
+
+Replaces pwc_net_ros + the patched Caffe fork (SURVEY.md §2.3; consumed via
+``estimateOpticalFlow`` at scene_flow_constructor.cpp:279-290). Architecture
+parity with PWC-Net (Sun et al., CVPR 2018): a shared siamese feature
+pyramid, per-level warping of the second image's features by the upsampled
+coarser flow, a local correlation cost volume, a DenseNet-style flow
+estimator, and a dilated context network at the finest estimated level.
+Weights are trained/tuned on this side rather than ported from the dead
+Caffe fork — SURVEY.md §7 step 7 plans "architecture parity + retuned
+weights".
+
+TPU-first choices: NHWC layout, bfloat16 conv compute with f32 flow heads,
+static shapes per level, everything jit/vmap-friendly. Flow is estimated
+down to quarter resolution and bilinearly upscaled (standard PWC-Net
+behavior), so the hot convolutions run at <= H/4 x W/4.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import FlowNetConfig
+from ..ops import flow_ops
+
+
+def _dtype(cfg: FlowNetConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+class ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            dtype=self.dtype,
+        )(x)
+        return nn.leaky_relu(x, 0.1)
+
+
+class FeaturePyramid(nn.Module):
+    """Siamese feature extractor: one level per pyramid octave."""
+
+    channels: Sequence[int]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, img):
+        feats = []
+        x = img
+        for ch in self.channels:
+            x = ConvBlock(ch, stride=2, dtype=self.dtype)(x)
+            x = ConvBlock(ch, stride=1, dtype=self.dtype)(x)
+            feats.append(x)
+        return feats
+
+
+class FlowEstimator(nn.Module):
+    """DenseNet-style flow decoder head for one pyramid level."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for ch in (128, 128, 96, 64, 32):
+            y = ConvBlock(ch, dtype=self.dtype)(x)
+            x = jnp.concatenate([x, y], axis=-1)
+        flow = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return x, flow
+
+
+class ContextNetwork(nn.Module):
+    """Dilated refinement network applied at the finest estimated level."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features, flow):
+        x = jnp.concatenate([features, flow.astype(self.dtype)], axis=-1)
+        for ch, dil in ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)):
+            x = nn.Conv(
+                ch,
+                (3, 3),
+                padding="SAME",
+                kernel_dilation=(dil, dil),
+                dtype=self.dtype,
+            )(x)
+            x = nn.leaky_relu(x, 0.1)
+        residual = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return flow + residual
+
+
+class PWCNet(nn.Module):
+    """Full coarse-to-fine flow network.
+
+    Input: two (B, H, W, 1) grayscale (or (B, H, W, 3) RGB) images in
+    [0, 1]; H and W must be divisible by 2**pyramid_levels.
+    Output: (B, H, W, 2) forward flow (pixels, full resolution) plus the
+    per-level flow list for training supervision.
+    """
+
+    config: FlowNetConfig = FlowNetConfig()
+
+    @nn.compact
+    def __call__(self, img1, img2):
+        cfg = self.config
+        dt = _dtype(cfg)
+        b, h, w, _ = img1.shape
+
+        pyramid = FeaturePyramid(cfg.feature_channels, dtype=dt)
+        f1s = pyramid(img1.astype(dt))
+        f2s = pyramid(img2.astype(dt))
+
+        flows = []
+        flow = None
+        up_feat = None
+        # Coarse-to-fine from the top of the pyramid down to level 2
+        # (quarter resolution), standard PWC-Net.
+        for lvl in range(len(f1s) - 1, 1, -1):
+            f1, f2 = f1s[lvl], f2s[lvl]
+            if flow is None:
+                warped = f2
+                corr_in = []
+            else:
+                flow = flow_ops.upsample_flow_2x(flow)
+                up_feat = flow_ops.resize_bilinear(
+                    up_feat, (f1.shape[1], f1.shape[2])
+                )
+                # Warp at the level's own scale: flow is kept in full-res
+                # pixel units divided by 2**lvl at each level (we keep
+                # per-level pixel units instead; see scale below).
+                warped = flow_ops.warp(f2.astype(jnp.float32), flow).astype(dt)
+                corr_in = [up_feat.astype(dt), flow.astype(dt)]
+            corr = flow_ops.correlation(
+                f1.astype(jnp.float32),
+                warped.astype(jnp.float32),
+                cfg.search_range,
+            ).astype(dt)
+            corr = nn.leaky_relu(corr, 0.1)
+            x = jnp.concatenate([corr, f1] + corr_in, axis=-1)
+            feat, res_flow = FlowEstimator(dtype=dt)(x)
+            flow = res_flow if flow is None else flow + res_flow
+            if lvl == 2 and cfg.use_context_net:
+                flow = ContextNetwork(dtype=dt)(feat, flow)
+            flows.append(flow)
+            up_feat = feat
+
+        # Upscale quarter-res flow to full resolution ( x4 and scale ).
+        full = flow_ops.resize_bilinear(flow, (h, w)) * (h / flow.shape[1])
+        return full, flows[::-1]
+
+
+def create_pwc_net(cfg: FlowNetConfig | None = None) -> PWCNet:
+    return PWCNet(config=cfg or FlowNetConfig())
+
+
+def init_pwc_params(model: PWCNet, height: int, width: int, key=None):
+    """Initialize parameters for a given input resolution."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, height, width, 1), jnp.float32)
+    return model.init(key, dummy, dummy)

@@ -1,0 +1,93 @@
+"""Optical-flow building blocks: dense warping and local cost-volume
+correlation.
+
+These are the two custom layers the reference's Caffe fork adds for PWC-Net
+(docker/dockerfile:73-74 patches a warp layer into flownet2-Caffe;
+SURVEY.md §2.3). Here they are expressed as batched XLA programs:
+
+* ``warp``: backward bilinear warping of a feature map by a flow field — a
+  gather + lerp that XLA fuses; NCHW-free (we use NHWC, the TPU-friendly
+  layout).
+* ``correlation``: local cost volume over a (2r+1)^2 search window, i.e.
+  per-displacement channel dot products. Implemented as shift-and-reduce so
+  the inner op is a lane-wide multiply-add; the channel contraction is the
+  MXU-shaped part and XLA lowers it accordingly.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def warp(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward-warp ``features`` (B, H, W, C) by ``flow`` (B, H, W, 2).
+
+    output(x) = features(x + flow(x)), bilinear, zero outside the image —
+    matching the PWC-Net warping-layer semantics the reference's patched
+    Caffe provides.
+    """
+    b, h, w, c = features.shape
+    u = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    v = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    su = u + flow[..., 0]
+    sv = v + flow[..., 1]
+
+    inside = (su >= 0) & (su <= w - 1) & (sv >= 0) & (sv <= h - 1)
+    su_c = jnp.clip(su, 0.0, w - 1.0)
+    sv_c = jnp.clip(sv, 0.0, h - 1.0)
+    u0 = jnp.floor(su_c)
+    v0 = jnp.floor(sv_c)
+    du = (su_c - u0)[..., None]
+    dv = (sv_c - v0)[..., None]
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+    u1i = jnp.minimum(u0i + 1, w - 1)
+    v1i = jnp.minimum(v0i + 1, h - 1)
+
+    bidx = jnp.arange(b)[:, None, None]
+    p00 = features[bidx, v0i, u0i]
+    p01 = features[bidx, v0i, u1i]
+    p10 = features[bidx, v1i, u0i]
+    p11 = features[bidx, v1i, u1i]
+    out = (
+        p00 * (1 - du) * (1 - dv)
+        + p01 * du * (1 - dv)
+        + p10 * (1 - du) * dv
+        + p11 * du * dv
+    )
+    return jnp.where(inside[..., None], out, 0.0)
+
+
+def correlation(
+    f1: jnp.ndarray, f2: jnp.ndarray, search_range: int = 4
+) -> jnp.ndarray:
+    """Local cost volume: (B, H, W, (2r+1)^2) of mean channel dot products
+    between f1(x) and f2(x + offset) for every offset in the window.
+
+    The PWC-Net correlation layer (max displacement r, stride 1). The shift
+    is realized by padding+slicing so each offset is one fused
+    multiply-reduce over the channel (lane) dimension.
+    """
+    b, h, w, c = f1.shape
+    r = search_range
+    f2p = jnp.pad(f2, ((0, 0), (r, r), (r, r), (0, 0)))
+    outputs = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            shifted = f2p[:, r + dy : r + dy + h, r + dx : r + dx + w, :]
+            outputs.append(jnp.mean(f1 * shifted, axis=-1))
+    return jnp.stack(outputs, axis=-1)
+
+
+def resize_bilinear(x: jnp.ndarray, size) -> jnp.ndarray:
+    """Bilinear resize of (B, H, W, C) to (B, size[0], size[1], C)."""
+    import jax
+
+    b, _, _, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+
+
+def upsample_flow_2x(flow: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear 2x upsampling of a flow field, scaling the vectors by 2."""
+    _, h, w, _ = flow.shape
+    return resize_bilinear(flow, (h * 2, w * 2)) * 2.0

@@ -1,0 +1,246 @@
+"""The fused per-frame detection program.
+
+This module is the TPU-native replacement for the reference's entire ROS
+node graph (SURVEY.md §1): what the reference runs as four processes wired
+by TCPROS topics — scene_flow_constructor (3 worker threads + a construct
+thread), scene_flow_clusterer, moving_object_tracker and the marker
+converter — becomes ONE jitted function per frame:
+
+    detect_step(params, state, left, right, t) -> (state', FrameOutput)
+
+The reference's thread fan-out (disparity || ego-motion || optical flow,
+scene_flow_constructor.cpp:378-386) becomes three independent subgraphs of
+one XLA program, which the compiler schedules concurrently on-chip; the
+inter-process PointCloud2 serialization boundaries (SURVEY.md §3.1-3.3)
+disappear — everything stays in device memory.
+
+State threading is purely functional: the integrated odometry pose
+(scene_flow_constructor.cpp:32,322), previous frame/disparity
+(:397-398), and the tracker bank live in a PipelineState pytree carried by
+the host loop (or a lax.scan over a frame batch).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .clusterer import cluster_scene_flow
+from .config import PipelineConfig
+from .egomotion import estimate_motion
+from .models.pwc_net import PWCNet
+from .ops import geometry
+from .ops.sgm import compute_disparity
+from .sceneflow import construct_scene_flow
+from .tracker import TrackerState, track_step
+from .types import (
+    DisparityImage,
+    MovingObjects,
+    SceneFlowCloud,
+    StereoModel,
+    TrackedObjects,
+)
+
+
+@struct.dataclass
+class PipelineState:
+    """Functional pipeline state (everything the reference kept as node
+    member variables)."""
+
+    pose: jnp.ndarray  # (4, 4) odom <- camera integrated pose
+    prev_left: jnp.ndarray  # (H, W) f32 previous left image
+    prev_disparity: jnp.ndarray  # (H, W) f32 previous raw disparity
+    prev_time: jnp.ndarray  # () f32
+    has_prev: jnp.ndarray  # () bool
+    tracker: TrackerState
+    frame_index: jnp.ndarray  # () int32
+
+    @classmethod
+    def create(cls, config: PipelineConfig) -> "PipelineState":
+        h, w = config.height, config.width
+        return cls(
+            pose=jnp.eye(4, dtype=jnp.float32),
+            prev_left=jnp.zeros((h, w), jnp.float32),
+            prev_disparity=jnp.full((h, w), -1.0, jnp.float32),
+            prev_time=jnp.float32(0.0),
+            has_prev=jnp.bool_(False),
+            tracker=TrackerState.create(config.tracker.max_tracks),
+            frame_index=jnp.int32(0),
+        )
+
+
+@struct.dataclass
+class FrameOutput:
+    """Everything the reference publishes for one frame (SURVEY.md §2.1):
+    disparity/depth, optical + synthetic flow, the scene-flow cloud, raw
+    detections (camera frame), tracked objects (odom frame), the TF products
+    (per-frame motion and integrated pose), and status flags."""
+
+    disparity: DisparityImage
+    flow: jnp.ndarray  # (H, W, 2)
+    scene_flow: SceneFlowCloud
+    static_flow: jnp.ndarray  # (H, W, 2)
+    detections: MovingObjects  # camera frame (clusterer output)
+    label_image: jnp.ndarray  # (H, W) int32 compact cluster ids
+    tracked: TrackedObjects  # odom frame
+    motion: jnp.ndarray  # (4, 4) p_now = M @ p_prev
+    odom_pose: jnp.ndarray  # (4, 4) camera pose in odom
+    ego_success: jnp.ndarray  # () bool
+    frame_valid: jnp.ndarray  # () bool: scene flow usable this frame
+
+
+def _pad_to_multiple(img: jnp.ndarray, mult: int):
+    h, w = img.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    return jnp.pad(img, ((0, ph), (0, pw)), mode="edge"), (h, w)
+
+
+def _flow_forward(flow_params, flow_model: PWCNet, prev_img, now_img):
+    """Run the flow net on padded inputs, crop back to the frame size."""
+    mult = 2 ** len(flow_model.config.feature_channels)
+    p1, (h, w) = _pad_to_multiple(prev_img, mult)
+    p2, _ = _pad_to_multiple(now_img, mult)
+    batch1 = p1[None, :, :, None]
+    batch2 = p2[None, :, :, None]
+    full, _ = flow_model.apply(flow_params, batch1, batch2)
+    return full[0, :h, :w, :]
+
+
+def transform_objects(objects: MovingObjects, tf: jnp.ndarray) -> MovingObjects:
+    """Transform detections camera -> odom (centers as points, velocities as
+    vectors; bounding boxes axis-aligned sizes stay, matching
+    moving_objects_tracker.cpp:66-75)."""
+    return objects.replace(
+        center=geometry.transform_points(tf, objects.center),
+        velocity=geometry.rotate_vectors(tf, objects.velocity),
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "flow_model"))
+def detect_step(
+    flow_params,
+    state: PipelineState,
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    t: jnp.ndarray,
+    stereo: StereoModel,
+    config: PipelineConfig,
+    flow_model: PWCNet | None = None,
+    flow_override: jnp.ndarray | None = None,
+):
+    """One full frame: stereo pair -> disparity, ego-motion, optical flow,
+    scene flow, detections, tracks. The single-program equivalent of
+    stereoCallback + construct + clusterer + tracker (SURVEY.md §3.1-3.3).
+    """
+    cam = stereo.cam
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
+    t = jnp.asarray(t, jnp.float32)
+
+    # --- Perception fan-out (reference threads A/B/C, one XLA program). ---
+    disparity_now = compute_disparity(left, right, stereo, config.sgm)
+
+    disparity_prev = DisparityImage.create(
+        state.prev_disparity,
+        f=cam.fx,
+        t=stereo.baseline,
+        min_disparity=0.0,
+        max_disparity=float(config.sgm.max_disparity - 1),
+    )
+
+    key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_index)
+    motion, ego_ok, _ = estimate_motion(
+        state.prev_left, left, disparity_prev, cam, key, config.egomotion
+    )
+    ego_ok = ego_ok & state.has_prev
+    motion = jnp.where(ego_ok, motion, jnp.eye(4, dtype=jnp.float32))
+
+    # The flow source is either the PWC network or an externally supplied
+    # field (recorded/classical flow — SURVEY.md §7 step 2's validation path,
+    # mirroring BASELINE.json configs[0]).
+    if flow_override is not None:
+        flow = flow_override
+    else:
+        flow = _flow_forward(flow_params, flow_model, state.prev_left, left)
+
+    # --- Scene-flow construction (construct worker thread). ---
+    points_now = geometry.disparity_to_points(disparity_now, cam)
+    points_prev = geometry.disparity_to_points(disparity_prev, cam)
+    points_prev_tf = geometry.transform_points(motion, points_prev)
+
+    dt = jnp.maximum(t - state.prev_time, 1e-3)
+    cloud, static_flow = construct_scene_flow(
+        points_now,
+        points_prev_tf,
+        flow,
+        disparity_now,
+        disparity_prev,
+        cam,
+        dt,
+        jnp.float32(config.scene_flow.dynamic_flow_diff),
+    )
+    # Reference: no velocity cloud without a previous frame AND a successful
+    # ego-motion estimate (construct() null checks,
+    # scene_flow_constructor.cpp:104-133).
+    frame_valid = state.has_prev & ego_ok
+    velocity = jnp.where(frame_valid, cloud.velocity, jnp.nan)
+    cloud = SceneFlowCloud(points=cloud.points, velocity=velocity)
+
+    # --- Detection (clusterer). ---
+    detections, label_image = cluster_scene_flow(cloud, config.clusterer)
+
+    # --- Odometry integration (integrateAndBroadcastTF,
+    # scene_flow_constructor.cpp:320-349; base_link == camera here). ---
+    new_pose = jnp.where(
+        ego_ok, state.pose @ geometry.se3_inverse(motion), state.pose
+    )
+
+    # --- Tracking in the odom frame. ---
+    det_odom = transform_objects(detections, new_pose)
+
+    def run_tracker(ts):
+        return track_step(ts, t, det_odom, config.tracker)
+
+    def skip_tracker(ts):
+        empty = MovingObjects.empty(config.tracker.max_tracks)
+        return ts, TrackedObjects(
+            objects=empty,
+            covariance=jnp.zeros(
+                (config.tracker.max_tracks, 4, 4), jnp.float32
+            ),
+        )
+
+    # The reference tracker only receives a message when the clusterer
+    # received a scene-flow cloud; skip the update entirely otherwise.
+    new_tracker, tracked = jax.lax.cond(
+        frame_valid, run_tracker, skip_tracker, state.tracker
+    )
+
+    new_state = PipelineState(
+        pose=new_pose,
+        prev_left=left,
+        prev_disparity=disparity_now.disparity,
+        prev_time=t,
+        has_prev=jnp.bool_(True),
+        tracker=new_tracker,
+        frame_index=state.frame_index + 1,
+    )
+
+    output = FrameOutput(
+        disparity=disparity_now,
+        flow=flow,
+        scene_flow=cloud,
+        static_flow=static_flow,
+        detections=detections,
+        label_image=label_image,
+        tracked=tracked,
+        motion=motion,
+        odom_pose=new_pose,
+        ego_success=ego_ok,
+        frame_valid=frame_valid,
+    )
+    return new_state, output

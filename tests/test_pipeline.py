@@ -1,0 +1,214 @@
+"""End-to-end pipeline tests on a synthetic stereo sequence: a moving block
+in front of a static background, static camera.
+
+Covers the full fused frame program (detect_step): SGM disparity ->
+ego-motion -> scene flow -> clustering -> tracking, using a ground-truth
+flow override (SURVEY.md §7 step 2) plus a smoke test of the PWC path."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from moving_object_detector_tpu.config import (
+    ClustererConfig,
+    EgoMotionConfig,
+    FlowNetConfig,
+    PipelineConfig,
+    SceneFlowConfig,
+    SGMConfig,
+    TrackerConfig,
+)
+from moving_object_detector_tpu.models.pwc_net import PWCNet, init_pwc_params
+from moving_object_detector_tpu.pipeline import PipelineState, detect_step
+from moving_object_detector_tpu.types import StereoModel
+
+H, W = 64, 128
+FX = 100.0
+BASE = 0.48
+Z_BG, Z_OBJ = 8.0, 4.0  # disparities 6 and 12
+D_BG, D_OBJ = 6, 12
+D_BG_FAR = 3  # right half of the background: z = 16 m. Two background
+# depths break the translation/rotation near-degeneracy of a single
+# fronto-parallel plane, which otherwise lets residual feature noise trade
+# t_x against yaw.
+OBJ_W, OBJ_H = 30, 24
+OBJ_Y = 20
+SHIFT = 5  # object pixel shift per frame
+DT = 0.1
+# True object velocity: du * z / fx / dt = 5 * 4 / 100 / 0.1 = 2 m/s.
+V_TRUE = SHIFT * Z_OBJ / FX / DT
+
+STEREO = StereoModel.create(fx=FX, fy=FX, cx=W / 2.0, cy=H / 2.0, baseline=BASE)
+
+CONFIG = PipelineConfig(
+    height=H,
+    width=W,
+    scene_flow=SceneFlowConfig(dynamic_flow_diff=2.0),
+    clusterer=ClustererConfig(
+        cluster_size=100, depth_diff=0.3, dynamic_speed=0.3,
+        neighbor_distance=2, max_objects=4,
+    ),
+    tracker=TrackerConfig(max_tracks=8, gating_deviation=1.5),
+    sgm=SGMConfig(max_disparity=16, census_window=(5, 5)),
+    egomotion=EgoMotionConfig(
+        max_features=128, nms_radius=2, ransac_hypotheses=16,
+        lk_pyramid_levels=2, min_inliers=8,
+    ),
+    flownet=FlowNetConfig(
+        feature_channels=(8, 16, 32), search_range=2,
+        use_context_net=False, dtype="float32",
+    ),
+)
+
+
+def blocky(rng, h, w, cell=4):
+    return np.kron(
+        rng.uniform(0.1, 0.9, (h // cell, w // cell)).astype(np.float32),
+        np.ones((cell, cell), np.float32),
+    )
+
+
+def noisy(rng, h, w):
+    """Non-periodic smoothed noise: periodic textures make LK lock onto
+    false matches (a pathology of synthetic scenes, not of real imagery)."""
+    img = rng.uniform(0.1, 0.9, (h, w)).astype(np.float32)
+    k = np.array([0.25, 0.5, 0.25])
+    img = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, img)
+    img = np.apply_along_axis(lambda c: np.convolve(c, k, mode="same"), 0, img)
+    return img
+
+
+def make_frame(bg, obj_tex, obj_x):
+    """Render a left/right pair: background at disparity 6, object block at
+    disparity 12 sitting at column obj_x (left image)."""
+    left = bg.copy()
+    left[OBJ_Y : OBJ_Y + OBJ_H, obj_x : obj_x + OBJ_W] = obj_tex
+    right = np.concatenate(
+        [
+            np.roll(bg, -D_BG, axis=1)[:, : W // 2],
+            np.roll(bg, -D_BG_FAR, axis=1)[:, W // 2 :],
+        ],
+        axis=1,
+    )
+    rx = obj_x - D_OBJ
+    right[OBJ_Y : OBJ_Y + OBJ_H, rx : rx + OBJ_W] = obj_tex
+    return left, right
+
+
+def true_flow(obj_x_now, first):
+    """Ground-truth flow field of the current frame (now-frame indexed):
+    SHIFT inside the object, 0 in the background."""
+    f = np.zeros((H, W, 2), np.float32)
+    if not first:
+        f[OBJ_Y : OBJ_Y + OBJ_H, obj_x_now : obj_x_now + OBJ_W, 0] = SHIFT
+    return f
+
+
+def run_sequence(n_frames=7):
+    rng = np.random.default_rng(5)
+    bg = blocky(rng, H, W)
+    obj_tex = noisy(rng, OBJ_H, OBJ_W)
+    state = PipelineState.create(CONFIG)
+    outputs = []
+    x0 = 30
+    for k in range(n_frames):
+        obj_x = x0 + SHIFT * k
+        left, right = make_frame(bg, obj_tex, obj_x)
+        flow = true_flow(obj_x, first=(k == 0))
+        state, out = detect_step(
+            None,
+            state,
+            jnp.asarray(left),
+            jnp.asarray(right),
+            jnp.float32(k * DT),
+            STEREO,
+            CONFIG,
+            flow_override=jnp.asarray(flow),
+        )
+        outputs.append(out)
+    return state, outputs
+
+
+def test_end_to_end_detection_and_tracking():
+    state, outputs = run_sequence(7)
+
+    # Frame 0: no previous frame -> invalid.
+    assert not bool(outputs[0].frame_valid)
+    assert not np.asarray(outputs[0].detections.valid).any()
+
+    # Frames 1+: exactly one detection, correct velocity and depth.
+    for k in range(1, 7):
+        out = outputs[k]
+        assert bool(out.frame_valid), f"frame {k} invalid"
+        valid = np.asarray(out.detections.valid)
+        assert valid.sum() == 1, f"frame {k}: {valid.sum()} detections"
+        i = valid.argmax()
+        vel = np.asarray(out.detections.velocity)[i]
+        center = np.asarray(out.detections.center)[i]
+        assert abs(vel[0] - V_TRUE) < 0.5, f"frame {k} vx {vel[0]}"
+        assert abs(center[2] - Z_OBJ) < 0.5, f"frame {k} z {center[2]}"
+
+    # Ego-motion: static camera. Every per-frame motion estimate must be
+    # small (the handful of moving-object features inside the RANSAC gate
+    # leaves a ~1 cm/frame bias — the same failure mode viso2 has when a
+    # moving object carries trackable corners), and the integrated pose must
+    # stay near identity.
+    for k in range(1, 7):
+        m = np.asarray(outputs[k].motion)
+        assert np.linalg.norm(m[:3, 3]) < 0.04, f"frame {k} motion {m[:3, 3]}"
+    np.testing.assert_allclose(
+        np.asarray(outputs[-1].odom_pose), np.eye(4), atol=0.1
+    )
+
+    # Tracking: after >= 3 corrections a track is published with the right
+    # velocity.
+    tracked = outputs[-1].tracked.objects
+    tvalid = np.asarray(tracked.valid)
+    assert tvalid.sum() == 1
+    tvel = np.asarray(tracked.velocity)[tvalid.argmax()]
+    assert abs(tvel[0] - V_TRUE) < 0.5
+
+
+def test_disparity_quality_in_pipeline():
+    _, outputs = run_sequence(2)
+    disp = np.asarray(outputs[1].disparity.disparity)
+    # Background region (away from the object and borders).
+    bg_region = disp[4:16, 16 : W // 2 - 8]
+    v = bg_region[bg_region >= 0]
+    assert np.abs(np.median(v) - D_BG) <= 1.0
+
+
+def test_scene_flow_velocity_field():
+    _, outputs = run_sequence(3)
+    vel = np.asarray(outputs[2].scene_flow.velocity)
+    obj_x = 30 + 2 * SHIFT
+    inner = vel[OBJ_Y + 6 : OBJ_Y + OBJ_H - 6, obj_x + 8 : obj_x + OBJ_W - 6]
+    finite = np.isfinite(inner[..., 0])
+    assert finite.mean() > 0.5
+    assert abs(np.nanmedian(inner[..., 0]) - V_TRUE) < 0.5
+
+
+def test_pwc_path_smoke():
+    """detect_step with the real flow network: finite outputs, no crash."""
+    rng = np.random.default_rng(0)
+    bg = blocky(rng, H, W)
+    obj = noisy(rng, OBJ_H, OBJ_W)
+    model = PWCNet(config=CONFIG.flownet)
+    params = init_pwc_params(model, H, W)
+    state = PipelineState.create(CONFIG)
+    for k in range(2):
+        left, right = make_frame(bg, obj, 30 + SHIFT * k)
+        state, out = detect_step(
+            params,
+            state,
+            jnp.asarray(left),
+            jnp.asarray(right),
+            jnp.float32(k * DT),
+            STEREO,
+            CONFIG,
+            flow_model=model,
+        )
+    assert np.isfinite(np.asarray(out.flow)).all()
+    assert out.flow.shape == (H, W, 2)
+    assert bool(out.frame_valid)
