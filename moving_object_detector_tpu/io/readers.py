@@ -1,0 +1,272 @@
+"""Sequence readers: the replacement for the reference's sensor layer.
+
+Where the reference consumes live ZED topics or Gazebo sim topics
+(SURVEY.md §1 L1; detect_with_zed.launch, detect_with_gazebo.launch), this
+module provides: dependency-free PGM/PNG/NPY image loading (KITTI raw ships
+8-bit PNGs), directory-of-images stereo sequences, .npz recorded sequences
+(the rosbag analog), and a synthetic moving-object scene generator (the
+Gazebo-simulation analog, SURVEY.md §2.3 sim assets).
+
+All readers yield (left, right, timestamp) with images as float32 [0, 1]
+(H, W) grayscale arrays — the pipeline's input contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import struct
+import zlib
+from typing import Iterator, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Image decoding (dependency-free: PGM/PPM, 8/16-bit grayscale+RGB PNG, NPY)
+# ---------------------------------------------------------------------------
+
+
+def read_pgm(path: str) -> np.ndarray:
+    """Binary or ASCII PGM/PPM."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # Header: magic, width, height, maxval; '#' comments allowed.
+    tokens = []
+    i = 0
+    while len(tokens) < 4:
+        if data[i : i + 1] == b"#":
+            i = data.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        if j > i:
+            tokens.append(data[i:j])
+        i = j + 1
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    channels = 3 if magic in (b"P6", b"P3") else 1
+    if magic in (b"P5", b"P6"):
+        dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+        arr = np.frombuffer(data, dtype=dtype, count=w * h * channels, offset=i)
+    elif magic in (b"P2", b"P3"):
+        arr = np.array(data[i:].split(), dtype=np.int32)[: w * h * channels]
+    else:
+        raise ValueError(f"unsupported PNM magic {magic!r} in {path}")
+    arr = arr.reshape((h, w, channels) if channels == 3 else (h, w))
+    return arr.astype(np.float32) / float(maxval)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def read_png(path: str) -> np.ndarray:
+    """Minimal PNG decoder: 8/16-bit grayscale (0) / RGB (2) / palette-free,
+    non-interlaced — exactly what KITTI raw and typical dataset dumps use."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG: {path}")
+    pos = 8
+    idat = bytearray()
+    width = height = bitdepth = colortype = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", chunk)
+            )
+            if interlace != 0:
+                raise ValueError("interlaced PNG unsupported")
+            if colortype not in (0, 2):
+                raise ValueError(f"PNG colortype {colortype} unsupported")
+            if bitdepth not in (8, 16):
+                raise ValueError(f"PNG bitdepth {bitdepth} unsupported")
+        elif ctype == b"IDAT":
+            idat.extend(chunk)
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    channels = 3 if colortype == 2 else 1
+    bpp = channels * (bitdepth // 8)
+    stride = width * bpp
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, np.uint8, stride, pos + 1).copy()
+        pos += 1 + stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {ftype} unsupported")
+        out[y] = line
+        prev = line
+    if bitdepth == 16:
+        img = out.reshape(height, width, channels, 2)
+        arr = (img[..., 0].astype(np.uint16) << 8) | img[..., 1]
+        scale = 65535.0
+    else:
+        arr = out.reshape(height, width, channels)
+        scale = 255.0
+    arr = arr.astype(np.float32) / scale
+    return arr[..., 0] if channels == 1 else arr
+
+
+def read_image(path: str) -> np.ndarray:
+    """Load PGM/PPM/PNG/NPY as float32, grayscale converted with BT.601."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".pgm", ".ppm", ".pnm"):
+        img = read_pgm(path)
+    elif ext == ".png":
+        img = read_png(path)
+    elif ext == ".npy":
+        img = np.load(path).astype(np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+    else:
+        raise ValueError(f"unsupported image format: {path}")
+    if img.ndim == 3:
+        img = (
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        ).astype(np.float32)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Sequences
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ImageSequence:
+    """Stereo sequence from two image directories (KITTI raw layout:
+    image_02/data, image_03/data or image_00/image_01 grayscale), timestamps
+    at a fixed rate unless a timestamps file exists."""
+
+    left_dir: str
+    right_dir: str
+    fps: float = 10.0
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
+        lefts = sorted(glob.glob(os.path.join(self.left_dir, "*")))
+        rights = sorted(glob.glob(os.path.join(self.right_dir, "*")))
+        for i, (lp, rp) in enumerate(zip(lefts, rights)):
+            yield read_image(lp), read_image(rp), i / self.fps
+
+
+@dataclasses.dataclass
+class NpzSequence:
+    """Recorded sequence from a single .npz: arrays 'left' (N, H, W),
+    'right' (N, H, W), optional 'time' (N,) — the rosbag analog."""
+
+    path: str
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
+        data = np.load(self.path)
+        left, right = data["left"], data["right"]
+        times = data["time"] if "time" in data else np.arange(len(left)) * 0.1
+        for l, r, t in zip(left, right, times):
+            yield l.astype(np.float32), r.astype(np.float32), float(t)
+
+
+class SyntheticStereoSequence:
+    """Procedural moving-object stereo scene — the Gazebo-simulation analog
+    (SURVEY.md §2.3): a textured two-depth background and a textured block
+    moving laterally at constant velocity, rendered into a rectified stereo
+    pair via per-region disparity shifts.
+
+    Ground truth (object pixel rectangle, velocity) is exposed per frame for
+    parity testing.
+    """
+
+    def __init__(
+        self,
+        height=376,
+        width=1242,
+        fx=721.5,
+        baseline=0.54,
+        z_bg=12.0,
+        z_obj=6.0,
+        obj_size=(96, 160),
+        obj_speed_px=6.0,
+        fps=10.0,
+        seed=0,
+        n_frames=40,
+    ):
+        self.h, self.w = height, width
+        self.fx = fx
+        self.baseline = baseline
+        self.z_bg, self.z_obj = z_bg, z_obj
+        self.obj_h, self.obj_w = obj_size
+        self.speed = obj_speed_px
+        self.fps = fps
+        self.n_frames = n_frames
+        rng = np.random.default_rng(seed)
+        self.bg = self._texture(rng, height, width, cell=6)
+        self.obj = self._texture(rng, self.obj_h, self.obj_w, cell=3)
+        self.obj_y = height // 3
+        self.obj_x0 = width // 6
+        self.d_bg = fx * baseline / z_bg
+        self.d_obj = fx * baseline / z_obj
+
+    @staticmethod
+    def _texture(rng, h, w, cell):
+        img = np.kron(
+            rng.uniform(0.1, 0.9, (h // cell + 1, w // cell + 1)),
+            np.ones((cell, cell)),
+        )[:h, :w].astype(np.float32)
+        k = np.array([0.25, 0.5, 0.25])
+        img = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1, img
+        )
+        return np.apply_along_axis(
+            lambda c: np.convolve(c, k, mode="same"), 0, img
+        ).astype(np.float32)
+
+    def object_velocity(self) -> float:
+        """True lateral velocity in m/s."""
+        return self.speed * self.z_obj / self.fx * self.fps
+
+    def frame(self, k: int):
+        obj_x = int(self.obj_x0 + self.speed * k)
+        left = self.bg.copy()
+        y, x = self.obj_y, obj_x
+        left[y : y + self.obj_h, x : x + self.obj_w] = self.obj
+        right = np.roll(self.bg, -int(round(self.d_bg)), axis=1)
+        rx = x - int(round(self.d_obj))
+        right[y : y + self.obj_h, rx : rx + self.obj_w] = self.obj
+        truth = {
+            "obj_box": (y, x, self.obj_h, self.obj_w),
+            "velocity": (self.object_velocity(), 0.0, 0.0),
+            "z": self.z_obj,
+        }
+        return left, right, k / self.fps, truth
+
+    def __iter__(self):
+        for k in range(self.n_frames):
+            left, right, t, _ = self.frame(k)
+            yield left, right, t

@@ -1,0 +1,194 @@
+"""Host streaming runner: sequence -> pipeline -> exported products.
+
+The process-level replacement for the reference's launch-file orchestration
+(detect_moving_object.launch wiring, SURVEY.md §1 L9) plus its software
+pipelining (the detached construct thread overlapping the next frame's
+perception, scene_flow_constructor.cpp:389-392):
+
+* a producer thread decodes/renders frames into the native SPSC ring
+  (runtime/modt_runtime.cpp) — the ROS sensor-topic analog;
+* the consumer loop feeds the device; JAX's async dispatch overlaps host
+  decode of frame k+1 with device compute of frame k (double buffering);
+* outputs are fetched one frame behind the device, then optionally exported
+  (markers JSON, label/flow/depth images, PLY clouds) — the RViz analog.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import threading
+import time
+from typing import Iterable, Optional
+
+import numpy as np
+
+from ..config import PipelineConfig
+from ..types import StereoModel
+from ..utils.profiling import StageTimer
+from .frame_ring import FrameRing
+from . import viz
+
+
+@dataclasses.dataclass
+class FrameResult:
+    """Host-side distillation of one frame's outputs."""
+
+    index: int
+    time: float
+    n_detections: int
+    n_tracks: int
+    detections: dict
+    tracks: dict
+    ego_success: bool
+    frame_valid: bool
+
+
+class PipelineRunner:
+    """Drives the fused detect_step over a stereo sequence."""
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        stereo: StereoModel,
+        flow_params=None,
+        flow_model=None,
+        export_dir: Optional[str] = None,
+        export_every: int = 1,
+        ring_capacity: int = 4,
+        drop_oldest: bool = False,
+    ):
+        self.config = config
+        self.stereo = stereo
+        self.flow_params = flow_params
+        self.flow_model = flow_model
+        self.export_dir = export_dir
+        self.export_every = export_every
+        self.ring = FrameRing(
+            config.height, config.width, capacity=ring_capacity,
+            drop_oldest=drop_oldest,
+        )
+        self.timer = StageTimer()
+        if export_dir:
+            os.makedirs(export_dir, exist_ok=True)
+
+    def _feeder(self, sequence: Iterable, stop: threading.Event):
+        for left, right, t in sequence:
+            if stop.is_set():
+                break
+            self.ring.push(left, right, t, timeout=30.0)
+        self._done_feeding = True
+
+    def run(self, sequence: Iterable, max_frames: Optional[int] = None):
+        """Run the pipeline over the sequence; returns list[FrameResult]."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..pipeline import PipelineState, detect_step
+
+        state = PipelineState.create(self.config)
+        self._done_feeding = False
+        stop = threading.Event()
+        feeder = threading.Thread(
+            target=self._feeder, args=(sequence, stop), daemon=True
+        )
+        feeder.start()
+
+        results: list[FrameResult] = []
+        pending = None  # (index, t, FrameOutput) one frame behind
+        k = 0
+        try:
+            while max_frames is None or k < max_frames:
+                with self.timer.stage("ring_pop"):
+                    frame = self.ring.pop(timeout=2.0)
+                if frame is None:
+                    if self._done_feeding:
+                        break
+                    continue
+                left, right, t = frame
+                with self.timer.stage("dispatch"):
+                    state, out = detect_step(
+                        self.flow_params,
+                        state,
+                        jnp.asarray(left),
+                        jnp.asarray(right),
+                        jnp.float32(t),
+                        self.stereo,
+                        self.config,
+                        flow_model=self.flow_model,
+                    )
+                # Harvest the previous frame while this one computes.
+                if pending is not None:
+                    results.append(self._harvest(*pending))
+                pending = (k, t, out)
+                k += 1
+            if pending is not None:
+                results.append(self._harvest(*pending))
+        finally:
+            stop.set()
+        return results
+
+    def _harvest(self, index: int, t: float, out) -> FrameResult:
+        with self.timer.stage("harvest"):
+            det = out.detections
+            trk = out.tracked.objects
+            det_valid = np.asarray(det.valid)
+            trk_valid = np.asarray(trk.valid)
+            result = FrameResult(
+                index=index,
+                time=t,
+                n_detections=int(det_valid.sum()),
+                n_tracks=int(trk_valid.sum()),
+                detections={
+                    "id": np.asarray(det.id)[det_valid],
+                    "center": np.asarray(det.center)[det_valid],
+                    "velocity": np.asarray(det.velocity)[det_valid],
+                    "bounding_box": np.asarray(det.bounding_box)[det_valid],
+                },
+                tracks={
+                    "id": np.asarray(trk.id)[trk_valid],
+                    "center": np.asarray(trk.center)[trk_valid],
+                    "velocity": np.asarray(trk.velocity)[trk_valid],
+                    "bounding_box": np.asarray(trk.bounding_box)[trk_valid],
+                },
+                ego_success=bool(out.ego_success),
+                frame_valid=bool(out.frame_valid),
+            )
+        if self.export_dir and index % self.export_every == 0:
+            with self.timer.stage("export"):
+                self._export(index, out)
+        return result
+
+    def _export(self, index: int, out) -> None:
+        d = self.export_dir
+        prefix = os.path.join(d, f"{index:06d}")
+        viz.write_ppm(
+            prefix + "_clusters.ppm",
+            viz.colorize_labels(
+                np.asarray(out.label_image), self.config.clusterer.max_objects
+            ),
+        )
+        viz.write_ppm(prefix + "_flow.ppm", viz.flow_to_rgb(np.asarray(out.flow)))
+        viz.write_ppm(
+            prefix + "_static_flow.ppm",
+            viz.flow_to_rgb(np.asarray(out.static_flow)),
+        )
+        viz.write_ppm(
+            prefix + "_depth.ppm",
+            viz.depth_image(np.asarray(out.scene_flow.points)),
+        )
+        viz.write_ppm(
+            prefix + "_velocity.ppm",
+            viz.velocity_image(
+                np.asarray(out.scene_flow.velocity),
+                self.config.scene_flow.max_color_velocity,
+            ),
+        )
+        markers = viz.objects_to_markers(out.detections, color=(1, 0, 0, 0.8))
+        markers += viz.objects_to_markers(
+            out.tracked.objects, frame_id="odom", color=(0, 1, 0, 0.8)
+        )
+        viz.write_marker_json(prefix + "_markers.json", markers)
+
+    def report(self) -> str:
+        return self.timer.report()

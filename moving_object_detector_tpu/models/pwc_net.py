@@ -119,6 +119,9 @@ class PWCNet(nn.Module):
     @nn.compact
     def __call__(self, img1, img2):
         cfg = self.config
+        assert len(cfg.feature_channels) >= 3, (
+            "need >= 3 pyramid levels (flow is estimated down to level 2)"
+        )
         dt = _dtype(cfg)
         b, h, w, _ = img1.shape
 
@@ -137,7 +140,13 @@ class PWCNet(nn.Module):
                 warped = f2
                 corr_in = []
             else:
-                flow = flow_ops.upsample_flow_2x(flow)
+                # Resize to the actual next-level shape (robust to odd level
+                # sizes from non-power-of-two inputs), scaling vectors by the
+                # true width ratio.
+                ratio = f1.shape[2] / flow.shape[2]
+                flow = flow_ops.resize_bilinear(
+                    flow, (f1.shape[1], f1.shape[2])
+                ) * ratio
                 up_feat = flow_ops.resize_bilinear(
                     up_feat, (f1.shape[1], f1.shape[2])
                 )

@@ -1,0 +1,137 @@
+// Native host runtime: lock-free SPSC frame ring + stereo frame pump.
+//
+// The TPU-native replacement for the reference's transport layer: where the
+// ROS graph moves frames between processes over TCPROS with per-topic queues
+// and drop-based backpressure (SURVEY.md §2.4: queue size 1-10, drop on
+// overflow), this runtime moves frames between the decode thread and the
+// device-feed thread through a single-producer single-consumer ring of
+// preallocated slots — zero-copy on the consumer side (numpy views the slot
+// memory directly via ctypes), no GIL involvement on the producer side.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in the image).
+//
+// Semantics:
+//   * push: copies a frame into the next free slot; either blocks (bounded
+//     spin+yield) or drops-oldest, matching the reference's two queueing
+//     modes (blocking sensor feed vs. queue_size=1 latest-wins topics).
+//   * pop: returns a pointer to the oldest filled slot; the consumer calls
+//     release() when done, freeing the slot for reuse.
+
+#include <atomic>
+#include <chrono>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+
+namespace {
+
+struct Slot {
+  double timestamp;
+  int64_t seq;
+  // payload follows the header in slot_stride bytes
+};
+
+struct Ring {
+  uint8_t* storage;
+  size_t capacity;      // number of slots
+  size_t payload_bytes; // bytes per frame payload
+  size_t slot_stride;   // aligned total slot size
+  std::atomic<uint64_t> head; // next slot to write (producer)
+  std::atomic<uint64_t> tail; // next slot to read (consumer)
+  std::atomic<uint64_t> dropped;
+  int drop_oldest; // 1: overwrite oldest when full; 0: block
+};
+
+inline Slot* slot_at(Ring* r, uint64_t idx) {
+  return reinterpret_cast<Slot*>(r->storage +
+                                 (idx % r->capacity) * r->slot_stride);
+}
+
+}  // namespace
+
+extern "C" {
+
+Ring* modt_ring_create(size_t capacity, size_t payload_bytes,
+                       int drop_oldest) {
+  if (capacity == 0 || payload_bytes == 0) return nullptr;
+  Ring* r = new Ring();
+  r->capacity = capacity;
+  r->payload_bytes = payload_bytes;
+  size_t stride = sizeof(Slot) + payload_bytes;
+  // 64-byte align slots to keep payloads cacheline-aligned.
+  r->slot_stride = (stride + 63) & ~size_t(63);
+  r->storage = new uint8_t[r->slot_stride * capacity];
+  r->head.store(0);
+  r->tail.store(0);
+  r->dropped.store(0);
+  r->drop_oldest = drop_oldest;
+  return r;
+}
+
+void modt_ring_destroy(Ring* r) {
+  if (!r) return;
+  delete[] r->storage;
+  delete r;
+}
+
+size_t modt_ring_size(Ring* r) {
+  return static_cast<size_t>(r->head.load(std::memory_order_acquire) -
+                             r->tail.load(std::memory_order_acquire));
+}
+
+uint64_t modt_ring_dropped(Ring* r) { return r->dropped.load(); }
+
+// Returns 1 on success, 0 on timeout (blocking mode only).
+int modt_ring_push(Ring* r, const uint8_t* payload, double timestamp,
+                   int64_t seq, double timeout_s) {
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::duration<double>(timeout_s);
+  for (;;) {
+    uint64_t head = r->head.load(std::memory_order_relaxed);
+    uint64_t tail = r->tail.load(std::memory_order_acquire);
+    if (head - tail < r->capacity) {
+      Slot* s = slot_at(r, head);
+      s->timestamp = timestamp;
+      s->seq = seq;
+      std::memcpy(reinterpret_cast<uint8_t*>(s) + sizeof(Slot), payload,
+                  r->payload_bytes);
+      r->head.store(head + 1, std::memory_order_release);
+      return 1;
+    }
+    if (r->drop_oldest) {
+      // Latest-wins: advance tail, discarding the oldest frame (the
+      // reference's queue_size=1 topic behavior).
+      r->tail.compare_exchange_strong(tail, tail + 1);
+      r->dropped.fetch_add(1);
+      continue;
+    }
+    if (std::chrono::steady_clock::now() > deadline) return 0;
+    std::this_thread::yield();
+  }
+}
+
+// Returns payload pointer or nullptr on timeout. timestamp/seq are output
+// params. The slot stays owned by the consumer until modt_ring_release.
+const uint8_t* modt_ring_pop(Ring* r, double* timestamp, int64_t* seq,
+                             double timeout_s) {
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::duration<double>(timeout_s);
+  for (;;) {
+    uint64_t tail = r->tail.load(std::memory_order_relaxed);
+    uint64_t head = r->head.load(std::memory_order_acquire);
+    if (tail < head) {
+      Slot* s = slot_at(r, tail);
+      *timestamp = s->timestamp;
+      *seq = s->seq;
+      return reinterpret_cast<const uint8_t*>(s) + sizeof(Slot);
+    }
+    if (std::chrono::steady_clock::now() > deadline) return nullptr;
+    std::this_thread::yield();
+  }
+}
+
+void modt_ring_release(Ring* r) {
+  r->tail.fetch_add(1, std::memory_order_release);
+}
+
+}  // extern "C"

@@ -1,0 +1,259 @@
+"""I/O shim tests: image decoding roundtrips, sequences, the native frame
+ring, visualization products, and the streaming runner."""
+
+import os
+import threading
+import zlib
+import struct
+
+import numpy as np
+import pytest
+
+from moving_object_detector_tpu.io import readers, viz
+from moving_object_detector_tpu.io.frame_ring import FrameRing, native_available
+
+
+def write_png(path, arr, bitdepth=8, color=False):
+    """Reference PNG writer (filter 0 only) for decoder roundtrips."""
+    h, w = arr.shape[:2]
+    channels = 3 if color else 1
+    ctype = 2 if color else 0
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        row = arr[y]
+        if bitdepth == 16:
+            raw.extend(row.astype(">u2").tobytes())
+        else:
+            raw.extend(row.astype(np.uint8).tobytes())
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data))
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, ctype, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def test_pgm_roundtrip(tmp_path):
+    img = (np.arange(48).reshape(6, 8) * 5).astype(np.uint8)
+    p = tmp_path / "t.pgm"
+    with open(p, "wb") as f:
+        f.write(b"P5\n8 6\n255\n" + img.tobytes())
+    out = readers.read_pgm(str(p))
+    np.testing.assert_allclose(out, img / 255.0, atol=1e-6)
+
+
+def test_png_roundtrip_gray8(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (12, 17)).astype(np.uint8)
+    p = tmp_path / "t.png"
+    write_png(str(p), img)
+    out = readers.read_png(str(p))
+    np.testing.assert_allclose(out, img / 255.0, atol=1e-6)
+
+
+def test_png_roundtrip_gray16(tmp_path):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 65536, (9, 11)).astype(np.uint16)
+    p = tmp_path / "t16.png"
+    write_png(str(p), img, bitdepth=16)
+    out = readers.read_png(str(p))
+    np.testing.assert_allclose(out, img / 65535.0, atol=1e-6)
+
+
+def test_png_roundtrip_rgb(tmp_path):
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (7, 5, 3)).astype(np.uint8)
+    p = tmp_path / "rgb.png"
+    write_png(str(p), img, color=True)
+    out = readers.read_png(str(p))
+    np.testing.assert_allclose(out, img / 255.0, atol=1e-6)
+
+
+def test_read_image_grayscale_conversion(tmp_path):
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[..., 0] = 255  # pure red
+    p = tmp_path / "red.png"
+    write_png(str(p), img, color=True)
+    out = readers.read_image(str(p))
+    np.testing.assert_allclose(out, 0.299, atol=1e-3)
+
+
+def test_npz_sequence(tmp_path):
+    p = tmp_path / "seq.npz"
+    left = np.random.default_rng(0).uniform(0, 1, (3, 8, 10)).astype(np.float32)
+    right = left + 0.1
+    np.savez(p, left=left, right=right, time=np.array([0.0, 0.5, 1.0]))
+    frames = list(readers.NpzSequence(str(p)))
+    assert len(frames) == 3
+    assert frames[2][2] == 1.0
+    np.testing.assert_allclose(frames[1][0], left[1])
+
+
+def test_synthetic_sequence_consistency():
+    seq = readers.SyntheticStereoSequence(
+        height=64, width=128, fx=100.0, baseline=0.48, z_bg=8.0, z_obj=4.0,
+        obj_size=(24, 30), obj_speed_px=5.0, fps=10.0, n_frames=3,
+    )
+    frames = list(seq)
+    assert len(frames) == 3
+    left, right, t = frames[0]
+    assert left.shape == (64, 128) and right.shape == (64, 128)
+    assert abs(seq.object_velocity() - 2.0) < 1e-6
+
+
+@pytest.mark.parametrize("force_python", [True, False])
+def test_frame_ring_roundtrip(force_python):
+    if not force_python and not native_available():
+        pytest.skip("native runtime unavailable")
+    ring = FrameRing(8, 10, capacity=3, force_python=force_python)
+    rng = np.random.default_rng(0)
+    frames = [
+        (rng.uniform(size=(8, 10)).astype(np.float32),
+         rng.uniform(size=(8, 10)).astype(np.float32), 0.1 * i)
+        for i in range(5)
+    ]
+    out = []
+
+    def consumer():
+        for _ in range(5):
+            item = ring.pop(timeout=5.0)
+            assert item is not None
+            out.append(item)
+
+    th = threading.Thread(target=consumer)
+    th.start()
+    for l, r, t in frames:
+        assert ring.push(l, r, t, timeout=5.0)
+    th.join(timeout=10.0)
+    assert len(out) == 5
+    for (l, r, t), (ol, orr, ot) in zip(frames, out):
+        np.testing.assert_allclose(ol, l)
+        np.testing.assert_allclose(orr, r)
+        assert abs(ot - t) < 1e-9
+    ring.close()
+
+
+def test_frame_ring_drop_oldest():
+    if not native_available():
+        pytest.skip("native runtime unavailable")
+    ring = FrameRing(4, 4, capacity=2, drop_oldest=True)
+    a = np.zeros((4, 4), np.float32)
+    for i in range(5):
+        assert ring.push(a + i, a, float(i), timeout=0.1)
+    assert ring.dropped() >= 1
+    # The newest frames survive.
+    got = ring.pop(timeout=1.0)
+    assert got is not None
+    assert got[2] >= 2.0
+    ring.close()
+
+
+def test_viz_products(tmp_path):
+    labels = -np.ones((6, 8), np.int32)
+    labels[2:4, 3:6] = 0
+    rgb = viz.colorize_labels(labels, 4)
+    assert rgb.shape == (6, 8, 3)
+    assert (rgb[0, 0] == 0).all() and (rgb[2, 3] != 0).any()
+
+    flow = np.zeros((6, 8, 2), np.float32)
+    flow[..., 0] = 3.0
+    flow[0, 0] = np.nan
+    frgb = viz.flow_to_rgb(flow)
+    assert (frgb[0, 0] == 0).all()
+    assert frgb.shape == (6, 8, 3)
+
+    p = tmp_path / "img.ppm"
+    viz.write_ppm(str(p), np.random.default_rng(0).uniform(0, 1, (5, 7)))
+    out = readers.read_pgm(str(p))
+    assert out.shape == (5, 7, 3)
+
+
+def test_marker_export(tmp_path):
+    from moving_object_detector_tpu.types import MovingObjects
+    import jax.numpy as jnp
+
+    obj = MovingObjects.empty(4)
+    obj = obj.replace(
+        id=obj.id.at[0].set(7),
+        center=obj.center.at[0].set(jnp.asarray([1.0, 2.0, 3.0])),
+        velocity=obj.velocity.at[0].set(jnp.asarray([0.5, 0.0, 0.0])),
+        bounding_box=obj.bounding_box.at[0].set(jnp.asarray([1.0, 1.0, 2.0])),
+        valid=obj.valid.at[0].set(True),
+    )
+    markers = viz.objects_to_markers(obj)
+    assert markers[0]["action"] == "deleteall"
+    cubes = [m for m in markers if m.get("type") == "cube"]
+    arrows = [m for m in markers if m.get("type") == "arrow"]
+    assert len(cubes) == 1 and len(arrows) == 1
+    assert cubes[0]["id"] == 7
+    np.testing.assert_allclose(arrows[0]["points"][1], [1.5, 2.0, 3.0])
+    path = tmp_path / "m.json"
+    viz.write_marker_json(str(path), markers)
+    assert os.path.getsize(path) > 0
+
+
+def test_ply_export(tmp_path):
+    pts = np.full((2, 3, 3), np.nan, np.float32)
+    pts[0, 0] = [1, 2, 3]
+    pts[1, 2] = [4, 5, 6]
+    vel = np.zeros((2, 3, 3), np.float32)
+    p = tmp_path / "cloud.ply"
+    viz.write_ply(str(p), pts, vel)
+    text = open(p).read()
+    assert "element vertex 2" in text
+    assert "1.0000 2.0000 3.0000" in text
+
+
+def test_runner_streaming():
+    """The full host runner over the synthetic sequence with flow override
+    disabled (PWC path with a tiny net) would be slow; instead drive the
+    runner's threading/ring path with a trivial config."""
+    from moving_object_detector_tpu.config import (
+        ClustererConfig,
+        EgoMotionConfig,
+        PipelineConfig,
+        SGMConfig,
+        TrackerConfig,
+        FlowNetConfig,
+    )
+    from moving_object_detector_tpu.io.runner import PipelineRunner
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet,
+        init_pwc_params,
+    )
+    from moving_object_detector_tpu.types import StereoModel
+
+    h, w = 32, 64
+    config = PipelineConfig(
+        height=h, width=w,
+        clusterer=ClustererConfig(cluster_size=20, max_objects=2,
+                                  neighbor_distance=2),
+        tracker=TrackerConfig(max_tracks=4),
+        sgm=SGMConfig(max_disparity=8),
+        egomotion=EgoMotionConfig(
+            max_features=64, nms_radius=2, ransac_hypotheses=8,
+            lk_pyramid_levels=1, min_inliers=4,
+        ),
+        flownet=FlowNetConfig(feature_channels=(8, 16, 32), search_range=2,
+                              use_context_net=False, dtype="float32"),
+    )
+    stereo = StereoModel.create(fx=50.0, fy=50.0, cx=w / 2, cy=h / 2,
+                                baseline=0.5)
+    model = PWCNet(config=config.flownet)
+    params = init_pwc_params(model, h, w)
+    seq = readers.SyntheticStereoSequence(
+        height=h, width=w, fx=50.0, baseline=0.5, z_bg=8.0, z_obj=4.0,
+        obj_size=(12, 16), obj_speed_px=3.0, n_frames=4,
+    )
+    runner = PipelineRunner(config, stereo, params, model)
+    results = runner.run(seq)
+    assert len(results) == 4
+    assert results[0].index == 0
+    assert all(r.frame_valid for r in results[1:])
