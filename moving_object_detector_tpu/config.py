@@ -68,6 +68,12 @@ class TrackerConfig:
     initial_cov: float = 0.1
     min_dt: float = 0.001
     max_tracks: int = 64
+    # Association mode: "nn" = greedy nearest neighbor (the reference's
+    # wired-in default, nearest_neighbor_association.hpp); "gnn" = global
+    # nearest neighbor via optimal assignment (the reference's available-but
+    # -unwired Munkres mode, global_nearest_neighbor_association.hpp, here
+    # an auction solver).
+    association: str = "nn"
 
 
 @dataclasses.dataclass(frozen=True)

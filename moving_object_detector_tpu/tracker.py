@@ -167,7 +167,12 @@ def correct(
     obs_valid = detections.valid
 
     cost = _association_cost(state, obs4, obs_valid, cfg)
-    match = _greedy_associate(cost)  # (T,) obs index or -1
+    if cfg.association == "gnn":
+        from .ops.assignment import auction_assignment
+
+        match = auction_assignment(cost)
+    else:
+        match = _greedy_associate(cost)  # (T,) obs index or -1
     matched = match >= 0
     midx = jnp.maximum(match, 0)
 
