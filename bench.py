@@ -68,7 +68,9 @@ def main():
     for i in range(n):
         left, right = frames[i % 2]
         state, out = step(state, left, right, jnp.float32(0.2 + 0.1 * i))
-    jax.block_until_ready(out.disparity.disparity)
+        # Block every step: under the remote-tunnel backend, blocking only
+        # on the final output lets the measurement miss device work.
+        jax.block_until_ready((state, out))
     dt = time.time() - t0
     pairs_per_sec = n / dt
 

@@ -90,6 +90,10 @@ class SGMConfig:
     lr_max_diff: float = 1.0
     subpixel: bool = True
     uniqueness_ratio: float = 0.95
+    # Path-aggregation backend: "auto" picks the Pallas kernels on TPU and
+    # the lax.scan reference on CPU; "pallas_interpret" forces the Pallas
+    # kernels in interpreter mode (CPU parity tests).
+    backend: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +117,10 @@ class EgoMotionConfig:
     min_inliers: int = 12
     bucket_h: int = 4  # feature bucketing grid (viso2-style, odometry_params.h)
     bucket_w: int = 8
+    # In the fused pipeline, take feature correspondences from the dense PWC
+    # flow (cheap gathers) instead of running per-feature LK (slow scattered
+    # gathers on TPU). Standalone estimate_motion still supports LK.
+    use_dense_flow: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -276,12 +276,20 @@ def estimate_motion(
     cam: CameraModel,
     key: jnp.ndarray,
     cfg: EgoMotionConfig = EgoMotionConfig(),
+    dense_flow: jnp.ndarray | None = None,
 ):
     """Estimate the camera motion M (p_now = M @ p_prev) between two frames.
 
     Mirrors the contract of estimateCameraMotion
     (scene_flow_constructor.cpp:214-256): on failure the caller must treat
     the frame's velocities as unavailable.
+
+    Correspondences come from pyramidal LK tracking (self-contained mode,
+    viso2-like), or — when ``dense_flow`` (H, W, 2, now-frame indexed, i.e.
+    prev = now - flow) is provided — from sampling that field at the feature
+    positions. The dense mode is what the fused pipeline uses: the PWC flow
+    is already computed for the scene-flow stage, and per-feature LK's
+    scattered patch gathers are the slowest part of this module on TPU.
 
     Returns (motion 4x4 f32, success bool, inlier_count int32).
     """
@@ -302,7 +310,30 @@ def estimate_motion(
     pts3d = jnp.stack([x3, y3, z], axis=1)
 
     # 3. Track into the current frame.
-    tracked, track_ok = lk_track(prev_left, now_left, pts, cfg)
+    if dense_flow is not None:
+        # The flow field is now-frame indexed (prev = now - flow); invert it
+        # per feature by fixed-point iteration x <- p_prev + flow(x), which
+        # converges in a few steps for smooth flow.
+        h, w = prev_left.shape
+        x = pts
+        for _ in range(3):
+            f = geometry.bilinear_sample(dense_flow, x)
+            x = pts + f
+        tracked = x
+        f_final = geometry.bilinear_sample(dense_flow, tracked)
+        residual = tracked - (pts + f_final)
+        consistent = jnp.linalg.norm(residual, axis=-1) < 0.5
+        flow_finite = jnp.isfinite(f_final).all(axis=-1)
+        track_ok = (
+            consistent
+            & flow_finite
+            & (tracked[:, 0] >= 0)
+            & (tracked[:, 0] <= w - 1)
+            & (tracked[:, 1] >= 0)
+            & (tracked[:, 1] <= h - 1)
+        )
+    else:
+        tracked, track_ok = lk_track(prev_left, now_left, pts, cfg)
     feat_valid = feat_valid & track_ok
 
     # 4. RANSAC: vmapped 3-point Gauss-Newton hypotheses.

@@ -57,28 +57,38 @@ def census_transform(img: jnp.ndarray, window=(5, 5)) -> jnp.ndarray:
     return out
 
 
+def hamming_cost_volume_dhw(
+    census_l: jnp.ndarray, census_r: jnp.ndarray, max_disparity: int
+) -> jnp.ndarray:
+    """(D, H, W) int8 matching cost: popcount(census_l(x) ^ census_r(x-d)).
+
+    Out-of-image (x < d) candidates get the maximum census distance so they
+    never win WTA but stay finite for the DP recurrences. D-leading layout +
+    a rolled fori_loop keeps the graph small (fast compile) and every
+    temporary well-tiled (no trailing-1 axes).
+    """
+    h, w = census_l.shape
+    d_max = max_disparity
+    max_cost = jnp.int8(32)
+    crp = jnp.pad(census_r, ((0, 0), (d_max, 0)))  # (H, W + D)
+    cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+
+    def body(d, vol):
+        shifted = jax.lax.dynamic_slice(crp, (0, d_max - d), (h, w))
+        ham = jax.lax.population_count(census_l ^ shifted).astype(jnp.int8)
+        ham = jnp.where(cols < d, max_cost, ham)
+        return jax.lax.dynamic_update_slice(vol, ham[None], (d, 0, 0))
+
+    vol = jnp.zeros((d_max, h, w), jnp.int8)
+    return jax.lax.fori_loop(0, d_max, body, vol)
+
+
 def hamming_cost_volume(
     census_l: jnp.ndarray, census_r: jnp.ndarray, max_disparity: int
 ) -> jnp.ndarray:
-    """(H, W, D) f32 matching cost: popcount(census_l(x) ^ census_r(x - d)).
-
-    Out-of-image (x < d) candidates get the maximum census distance so they
-    never win WTA but stay finite for the DP recurrences.
-    """
-    h, w = census_l.shape
-    slices = []
-    max_cost = 32.0
-    for d in range(max_disparity):
-        if d == 0:
-            shifted = census_r
-        else:
-            shifted = jnp.pad(census_r, ((0, 0), (d, 0)))[:, :w]
-        ham = jax.lax.population_count(census_l ^ shifted).astype(jnp.float32)
-        if d > 0:
-            col = jnp.arange(w) < d
-            ham = jnp.where(col[None, :], max_cost, ham)
-        slices.append(ham)
-    return jnp.stack(slices, axis=-1)
+    """(H, W, D) f32 cost volume (layout used by the aggregation passes)."""
+    vol = hamming_cost_volume_dhw(census_l, census_r, max_disparity)
+    return jnp.transpose(vol, (1, 2, 0)).astype(jnp.float32)
 
 
 def _dp_step(carry, cost_slice, p1, p2):
@@ -114,14 +124,21 @@ def aggregate_path(cost: jnp.ndarray, axis: int, reverse: bool, p1, p2):
     return jnp.moveaxis(agg, 0, axis)
 
 
-def _subpixel(total: jnp.ndarray, best: jnp.ndarray) -> jnp.ndarray:
-    """Parabola fit around the WTA disparity. total (H, W, D), best (H, W)."""
-    d = total.shape[-1]
+def _subpixel_dhw(tot: jnp.ndarray, best: jnp.ndarray) -> jnp.ndarray:
+    """Parabola fit around the WTA disparity. tot (D, H, W), best (H, W).
+
+    Flat gathers only: take_along_axis with a trailing length-1 axis creates
+    (H, W, 1) temporaries that TPU tiling pads 128x (observed 229 MB per
+    temp at KITTI resolution).
+    """
+    d, h, w = tot.shape
     bm1 = jnp.clip(best - 1, 0, d - 1)
     bp1 = jnp.clip(best + 1, 0, d - 1)
-    c0 = jnp.take_along_axis(total, best[..., None], axis=-1)[..., 0]
-    cm = jnp.take_along_axis(total, bm1[..., None], axis=-1)[..., 0]
-    cp = jnp.take_along_axis(total, bp1[..., None], axis=-1)[..., 0]
+    flat = tot.reshape(d, h * w)
+    cols = jnp.arange(h * w, dtype=jnp.int32)
+    c0 = flat[best.reshape(-1), cols].reshape(h, w).astype(jnp.float32)
+    cm = flat[bm1.reshape(-1), cols].reshape(h, w).astype(jnp.float32)
+    cp = flat[bp1.reshape(-1), cols].reshape(h, w).astype(jnp.float32)
     denom = cm - 2.0 * c0 + cp
     offset = jnp.where(
         denom > 1e-6, 0.5 * (cm - cp) / jnp.maximum(denom, 1e-6), 0.0
@@ -143,27 +160,50 @@ def aggregate_cost_volume(cost: jnp.ndarray, cfg: SGMConfig) -> jnp.ndarray:
 
 def wta_disparity(total: jnp.ndarray, cfg: SGMConfig) -> jnp.ndarray:
     """Winner-take-all + subpixel + left-right consistency. Returns (H, W)
-    f32 disparity with -1 for invalid pixels."""
+    f32 disparity with -1 for invalid pixels.
+
+    Accepts f32 or int16 aggregated costs (the Pallas path produces int16 —
+    path sums are <= 576 — halving memory traffic). Works in (D, H, W)
+    layout internally: leading-axis slices keep every temporary well tiled,
+    and the right-view scan is a rolled fori_loop over a pre-padded volume
+    (no 60M-element shear gather, no 128-way unrolled graph).
+    """
     h, w, d = total.shape
-    best = jnp.argmin(total, axis=-1).astype(jnp.int32)
-    disp = _subpixel(total, best) if cfg.subpixel else best.astype(jnp.float32)
+    tot = jnp.transpose(total, (2, 0, 1))  # (D, H, W)
+    big = (
+        jnp.array(32767, total.dtype)
+        if jnp.issubdtype(total.dtype, jnp.integer)
+        else jnp.array(jnp.inf, total.dtype)
+    )
+    best = jnp.argmin(tot, axis=0).astype(jnp.int32)
+    disp = _subpixel_dhw(tot, best) if cfg.subpixel else best.astype(jnp.float32)
 
     valid = jnp.ones((h, w), bool)
     # No valid candidate at all when x < d for every d except d<=x; pixels
     # x = 0 can only have d = 0: treat border band as invalid-if-cost-max.
     if cfg.lr_check:
-        # Right-view WTA from the same volume: cost_R(y, x, d) = cost_L(y, x+d, d).
-        cols = jnp.arange(w)[None, :, None] + jnp.arange(d)[None, None, :]
-        cols = jnp.clip(cols, 0, w - 1)
-        right_vol = jnp.take_along_axis(
-            total, jnp.broadcast_to(cols, (h, w, d)), axis=1
-        )
-        best_r = jnp.argmin(right_vol, axis=-1).astype(jnp.int32)
+        # Right-view WTA from the same volume: cost_R(y, x, d) =
+        # cost_L(y, x+d, d), i.e. a left-shift of each D-slice by d.
+        padded = jnp.pad(tot, ((0, 0), (0, 0), (0, d)), constant_values=big)
+
+        def body(dd, carry):
+            run_min, best_r = carry
+            sl = jax.lax.dynamic_slice(padded, (dd, 0, dd), (1, h, w))[0]
+            better = sl < run_min
+            return (
+                jnp.where(better, sl, run_min),
+                jnp.where(better, dd, best_r),
+            )
+
+        run_min0 = jnp.full((h, w), big, tot.dtype)
+        best_r0 = jnp.zeros((h, w), jnp.int32)
+        _, best_r = jax.lax.fori_loop(0, d, body, (run_min0, best_r0))
         # For each left pixel: the matching right pixel x - d_L.
         xr = jnp.round(jnp.arange(w)[None, :] - disp).astype(jnp.int32)
         xr_ok = xr >= 0
         xr_c = jnp.clip(xr, 0, w - 1)
-        d_r = jnp.take_along_axis(best_r, xr_c, axis=1)
+        rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+        d_r = best_r.reshape(-1)[(rows * w + xr_c).reshape(-1)].reshape(h, w)
         consistent = jnp.abs(disp - d_r.astype(jnp.float32)) <= cfg.lr_max_diff
         valid = valid & xr_ok & consistent
 
@@ -193,8 +233,27 @@ def compute_disparity(
         window = (5, 5)
     cl = census_transform(left, window)
     cr = census_transform(right, window)
-    cost = hamming_cost_volume(cl, cr, cfg.max_disparity)
-    total = aggregate_cost_volume(cost, cfg)
+    vol_dhw = hamming_cost_volume_dhw(cl, cr, cfg.max_disparity)
+
+    backend = cfg.backend
+    if backend == "auto":
+        on_accelerator = jax.default_backend() not in ("cpu",)
+        use_pallas = on_accelerator and cfg.max_disparity == 128
+        backend = "pallas" if use_pallas else "xla"
+    if backend in ("pallas", "pallas_interpret"):
+        from .sgm_pallas import aggregate_cost_volume_pallas
+
+        cost_i8 = jnp.transpose(vol_dhw, (1, 2, 0))  # (H, W, D) int8
+        total = aggregate_cost_volume_pallas(
+            cost_i8,
+            p1=int(cfg.p1),
+            p2=int(cfg.p2),
+            interpret=backend == "pallas_interpret",
+        )
+    else:
+        total = aggregate_cost_volume(
+            jnp.transpose(vol_dhw, (1, 2, 0)).astype(jnp.float32), cfg
+        )
     disp = wta_disparity(total, cfg)
     return DisparityImage.create(
         disp,

@@ -152,13 +152,6 @@ def detect_step(
         max_disparity=float(config.sgm.max_disparity - 1),
     )
 
-    key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_index)
-    motion, ego_ok, _ = estimate_motion(
-        state.prev_left, left, disparity_prev, cam, key, config.egomotion
-    )
-    ego_ok = ego_ok & state.has_prev
-    motion = jnp.where(ego_ok, motion, jnp.eye(4, dtype=jnp.float32))
-
     # The flow source is either the PWC network or an externally supplied
     # field (recorded/classical flow — SURVEY.md §7 step 2's validation path,
     # mirroring BASELINE.json configs[0]).
@@ -166,6 +159,19 @@ def detect_step(
         flow = flow_override
     else:
         flow = _flow_forward(flow_params, flow_model, state.prev_left, left)
+
+    key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_index)
+    motion, ego_ok, _ = estimate_motion(
+        state.prev_left,
+        left,
+        disparity_prev,
+        cam,
+        key,
+        config.egomotion,
+        dense_flow=flow if config.egomotion.use_dense_flow else None,
+    )
+    ego_ok = ego_ok & state.has_prev
+    motion = jnp.where(ego_ok, motion, jnp.eye(4, dtype=jnp.float32))
 
     # --- Scene-flow construction (construct worker thread). ---
     points_now = geometry.disparity_to_points(disparity_now, cam)

@@ -28,10 +28,12 @@ FX = 100.0
 BASE = 0.48
 Z_BG, Z_OBJ = 8.0, 4.0  # disparities 6 and 12
 D_BG, D_OBJ = 6, 12
-D_BG_FAR = 3  # right half of the background: z = 16 m. Two background
-# depths break the translation/rotation near-degeneracy of a single
-# fronto-parallel plane, which otherwise lets residual feature noise trade
-# t_x against yaw.
+# Background depth strips (column range -> disparity). With only one or two
+# background planes the scene is degenerate: a rigid motion exists that
+# reproduces zero background flow AND the object's coherent 5 px flow, so
+# the ego-motion solver can absorb the moving object (viso2 would too).
+# Four depths make the static background uniquely identify the identity.
+BG_STRIPS = ((0, 32, 6), (32, 64, 3), (64, 96, 9), (96, 128, 12))
 OBJ_W, OBJ_H = 30, 24
 OBJ_Y = 20
 SHIFT = 5  # object pixel shift per frame
@@ -85,10 +87,7 @@ def make_frame(bg, obj_tex, obj_x):
     left = bg.copy()
     left[OBJ_Y : OBJ_Y + OBJ_H, obj_x : obj_x + OBJ_W] = obj_tex
     right = np.concatenate(
-        [
-            np.roll(bg, -D_BG, axis=1)[:, : W // 2],
-            np.roll(bg, -D_BG_FAR, axis=1)[:, W // 2 :],
-        ],
+        [np.roll(bg, -d, axis=1)[:, x0:x1] for x0, x1, d in BG_STRIPS],
         axis=1,
     )
     rx = obj_x - D_OBJ
@@ -173,8 +172,9 @@ def test_end_to_end_detection_and_tracking():
 def test_disparity_quality_in_pipeline():
     _, outputs = run_sequence(2)
     disp = np.asarray(outputs[1].disparity.disparity)
-    # Background region (away from the object and borders).
-    bg_region = disp[4:16, 16 : W // 2 - 8]
+    # Background region inside the first strip (d=6), away from the object
+    # and image borders.
+    bg_region = disp[4:16, 10:28]
     v = bg_region[bg_region >= 0]
     assert np.abs(np.median(v) - D_BG) <= 1.0
 
