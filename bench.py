@@ -5,6 +5,13 @@ Measures sustained stereo pairs/sec of the fused detection pipeline
 KITTI resolution (1242x376 — BASELINE.md working resolution), against the
 north-star target of 200 pairs/sec/chip (BASELINE.json).
 
+Methodology: the N frame steps run inside ONE jitted lax.fori_loop with the
+pipeline state threaded through (so the device executes N dependent steps
+back-to-back), and a scalar derived from the final step is fetched to the
+host. This is the only reliable protocol on the tunneled TPU backend:
+per-call dispatch costs ~100 ms of round-trip, and block_until_ready alone
+can report completion before device work finishes.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -34,43 +41,42 @@ def main():
     )
     model = PWCNet(config=config.flownet)
     params = init_pwc_params(model, h, w)
-    state = PipelineState.create(config)
+    state0 = PipelineState.create(config)
 
     rng = np.random.default_rng(0)
-    # Two alternating synthetic frames (keeps the whole loop on-device
-    # realistic: new inputs every step, state threaded).
-    frames = [
-        (
-            jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32)),
-            jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32)),
-        )
-        for _ in range(2)
-    ]
-
-    def step(state, left, right, t):
-        return detect_step(
-            params, state, left, right, t, stereo, config, flow_model=model
-        )
-
-    # Warmup / compile.
-    t0 = time.time()
-    state, out = step(state, frames[0][0], frames[0][1], jnp.float32(0.0))
-    jax.block_until_ready(out.disparity.disparity)
-    compile_s = time.time() - t0
-    print(f"# compile+first-step: {compile_s:.1f}s", file=sys.stderr)
-
-    # One more warm step.
-    state, out = step(state, frames[1][0], frames[1][1], jnp.float32(0.1))
-    jax.block_until_ready(out.disparity.disparity)
+    left = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    right = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
 
     n = 20
+
+    @jax.jit
+    def run_frames(state, left):
+        def body(i, carry):
+            state, left = carry
+            state, out = detect_step(
+                params,
+                state,
+                left,
+                right,
+                state.prev_time + 0.1,
+                stereo,
+                config,
+                flow_model=model,
+            )
+            # Data-dependent no-op keeps iterations serialized and
+            # un-elidable.
+            bump = (out.disparity.disparity[0, 0] * 0.0).astype(left.dtype)
+            return state, left + bump
+        state, left = jax.lax.fori_loop(0, n, body, (state, left))
+        return left[0, 0]
+
     t0 = time.time()
-    for i in range(n):
-        left, right = frames[i % 2]
-        state, out = step(state, left, right, jnp.float32(0.2 + 0.1 * i))
-        # Block every step: under the remote-tunnel backend, blocking only
-        # on the final output lets the measurement miss device work.
-        jax.block_until_ready((state, out))
+    float(run_frames(state0, left))
+    print(f"# compile+first {n} frames: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.time()
+    float(run_frames(state0, left))
     dt = time.time() - t0
     pairs_per_sec = n / dt
 

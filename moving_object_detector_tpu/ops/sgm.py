@@ -124,27 +124,68 @@ def aggregate_path(cost: jnp.ndarray, axis: int, reverse: bool, p1, p2):
     return jnp.moveaxis(agg, 0, axis)
 
 
-def _subpixel_dhw(tot: jnp.ndarray, best: jnp.ndarray) -> jnp.ndarray:
-    """Parabola fit around the WTA disparity. tot (D, H, W), best (H, W).
-
-    Flat gathers only: take_along_axis with a trailing length-1 axis creates
-    (H, W, 1) temporaries that TPU tiling pads 128x (observed 229 MB per
-    temp at KITTI resolution).
-    """
-    d, h, w = tot.shape
-    bm1 = jnp.clip(best - 1, 0, d - 1)
-    bp1 = jnp.clip(best + 1, 0, d - 1)
-    flat = tot.reshape(d, h * w)
-    cols = jnp.arange(h * w, dtype=jnp.int32)
-    c0 = flat[best.reshape(-1), cols].reshape(h, w).astype(jnp.float32)
-    cm = flat[bm1.reshape(-1), cols].reshape(h, w).astype(jnp.float32)
-    cp = flat[bp1.reshape(-1), cols].reshape(h, w).astype(jnp.float32)
+def _subpixel_offset(c0, cm, cp, best, d):
+    """Parabola-fit subpixel offset from the winner and neighbor costs."""
     denom = cm - 2.0 * c0 + cp
     offset = jnp.where(
         denom > 1e-6, 0.5 * (cm - cp) / jnp.maximum(denom, 1e-6), 0.0
     )
     interior = (best > 0) & (best < d - 1)
-    return best.astype(jnp.float32) + jnp.where(interior, offset, 0.0)
+    return jnp.where(interior, offset, 0.0)
+
+
+def _wta_scan(tot: jnp.ndarray):
+    """One rolled pass over the disparity axis computing everything WTA
+    needs: the left-view argmin with its cost and the two neighbor costs
+    (for subpixel), and the right-view argmin (for the LR check).
+
+    tot: (D, H, W). A single fori_loop replaces an argmin reduction + three
+    467k-element flat gathers (measured ~6.4 ms each on TPU) + a second
+    scan: gathers are the slowest primitive on this hardware.
+
+    Returns (best, c0, cm, cp, best_r) — all (H, W); costs as f32.
+    """
+    d, h, w = tot.shape
+    big_v = (
+        jnp.array(32767, tot.dtype)
+        if jnp.issubdtype(tot.dtype, jnp.integer)
+        else jnp.array(jnp.inf, tot.dtype)
+    )
+    padded = jnp.pad(tot, ((0, 0), (0, 0), (0, d)), constant_values=big_v)
+
+    def body(dd, carry):
+        run_min, run_arg, cm, cp, prev, rv_min, rv_arg = carry
+        sl = jax.lax.dynamic_slice(padded, (dd, 0, 0), (1, h, w))[0]
+        # Capture the (final) winner's right neighbor: fires the step after
+        # the last improvement; overwritten only if a later improvement
+        # resets run_arg.
+        cp = jnp.where(dd == run_arg + 1, sl, cp)
+        better = sl < run_min
+        cm = jnp.where(better, prev, cm)
+        run_min = jnp.where(better, sl, run_min)
+        run_arg = jnp.where(better, dd, run_arg)
+        # Right view: cost_R(y, x, d) = total(y, x + d, d).
+        sr = jax.lax.dynamic_slice(padded, (dd, 0, dd), (1, h, w))[0]
+        better_r = sr < rv_min
+        rv_min = jnp.where(better_r, sr, rv_min)
+        rv_arg = jnp.where(better_r, dd, rv_arg)
+        return run_min, run_arg, cm, cp, sl, rv_min, rv_arg
+
+    full = jnp.full((h, w), big_v, tot.dtype)
+    zero_i = jnp.zeros((h, w), jnp.int32)
+    run_min, run_arg, cm, cp, _, _, rv_arg = jax.lax.fori_loop(
+        0,
+        d,
+        body,
+        (full, zero_i, full, full, full, full, zero_i),
+    )
+    return (
+        run_arg,
+        run_min.astype(jnp.float32),
+        cm.astype(jnp.float32),
+        cp.astype(jnp.float32),
+        rv_arg,
+    )
 
 
 def aggregate_cost_volume(cost: jnp.ndarray, cfg: SGMConfig) -> jnp.ndarray:
@@ -170,34 +211,13 @@ def wta_disparity(total: jnp.ndarray, cfg: SGMConfig) -> jnp.ndarray:
     """
     h, w, d = total.shape
     tot = jnp.transpose(total, (2, 0, 1))  # (D, H, W)
-    big = (
-        jnp.array(32767, total.dtype)
-        if jnp.issubdtype(total.dtype, jnp.integer)
-        else jnp.array(jnp.inf, total.dtype)
-    )
-    best = jnp.argmin(tot, axis=0).astype(jnp.int32)
-    disp = _subpixel_dhw(tot, best) if cfg.subpixel else best.astype(jnp.float32)
+    best, c0, cm, cp, best_r = _wta_scan(tot)
+    disp = best.astype(jnp.float32)
+    if cfg.subpixel:
+        disp = disp + _subpixel_offset(c0, cm, cp, best, d)
 
     valid = jnp.ones((h, w), bool)
-    # No valid candidate at all when x < d for every d except d<=x; pixels
-    # x = 0 can only have d = 0: treat border band as invalid-if-cost-max.
     if cfg.lr_check:
-        # Right-view WTA from the same volume: cost_R(y, x, d) =
-        # cost_L(y, x+d, d), i.e. a left-shift of each D-slice by d.
-        padded = jnp.pad(tot, ((0, 0), (0, 0), (0, d)), constant_values=big)
-
-        def body(dd, carry):
-            run_min, best_r = carry
-            sl = jax.lax.dynamic_slice(padded, (dd, 0, dd), (1, h, w))[0]
-            better = sl < run_min
-            return (
-                jnp.where(better, sl, run_min),
-                jnp.where(better, dd, best_r),
-            )
-
-        run_min0 = jnp.full((h, w), big, tot.dtype)
-        best_r0 = jnp.zeros((h, w), jnp.int32)
-        _, best_r = jax.lax.fori_loop(0, d, body, (run_min0, best_r0))
         # For each left pixel: the matching right pixel x - d_L.
         xr = jnp.round(jnp.arange(w)[None, :] - disp).astype(jnp.int32)
         xr_ok = xr >= 0

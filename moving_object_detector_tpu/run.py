@@ -1,0 +1,161 @@
+"""CLI entry point: the launch-file analog.
+
+Replaces the reference's roslaunch orchestration (SURVEY.md §2.1 #9):
+
+* ``--source synthetic`` ~ detect_with_gazebo.launch (simulated scene);
+* ``--source kitti --left-dir ... --right-dir ...`` ~ the KITTI-resolution
+  live setup of detect_with_zed.launch (with --crop providing the
+  image_crop stage);
+* ``--source npz`` ~ playing back a recorded bag.
+
+Outputs go to ``--export-dir`` as the RViz-equivalent file products (marker
+JSON, cluster/flow/depth images, PLY clouds) plus a JSONL detection log.
+
+Example:
+    python -m moving_object_detector_tpu.run --source synthetic \
+        --frames 20 --export-dir /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--source", choices=["synthetic", "kitti", "npz"],
+                   default="synthetic")
+    p.add_argument("--left-dir", help="left image directory (kitti source)")
+    p.add_argument("--right-dir", help="right image directory (kitti source)")
+    p.add_argument("--npz", help="recorded .npz sequence path")
+    p.add_argument("--frames", type=int, default=20)
+    p.add_argument("--height", type=int, default=376)
+    p.add_argument("--width", type=int, default=1242)
+    p.add_argument("--fx", type=float, default=721.5)
+    p.add_argument("--baseline", type=float, default=0.54)
+    p.add_argument("--fps", type=float, default=10.0)
+    p.add_argument("--crop", action="store_true",
+                   help="center-crop inputs to --height/--width "
+                        "(image_crop stage)")
+    p.add_argument("--export-dir", default=None)
+    p.add_argument("--export-every", type=int, default=5)
+    p.add_argument("--flow-checkpoint", default=None,
+                   help="orbax checkpoint with trained PWC-Net params")
+    p.add_argument("--report", action="store_true",
+                   help="print per-stage timing report")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .config import PipelineConfig
+    from .io import readers
+    from .io.runner import PipelineRunner
+    from .models.pwc_net import PWCNet, init_pwc_params
+    from .types import StereoModel
+
+    config = PipelineConfig(height=args.height, width=args.width)
+    stereo = StereoModel.create(
+        fx=args.fx, fy=args.fx, cx=args.width / 2.0, cy=args.height / 2.0,
+        baseline=args.baseline,
+    )
+
+    if args.source == "synthetic":
+        seq = readers.SyntheticStereoSequence(
+            height=args.height, width=args.width, fx=args.fx,
+            baseline=args.baseline, fps=args.fps, n_frames=args.frames,
+        )
+    elif args.source == "kitti":
+        if not (args.left_dir and args.right_dir):
+            print("--left-dir/--right-dir required for kitti", file=sys.stderr)
+            return 2
+        seq = readers.ImageSequence(args.left_dir, args.right_dir, args.fps)
+    else:
+        if not args.npz:
+            print("--npz required", file=sys.stderr)
+            return 2
+        seq = readers.NpzSequence(args.npz)
+
+    if args.crop:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from .ops.image import center_crop_stereo
+
+        base_seq, base_stereo = seq, stereo
+        # Note: for a centered principal point, the center crop keeps
+        # cx, cy at the (new) image center, matching the configured stereo.
+
+        def cropped():
+            for left, right, t in base_seq:
+                lc, rc, _ = center_crop_stereo(
+                    jnp.asarray(left), jnp.asarray(right), base_stereo,
+                    args.height, args.width,
+                )
+                yield np.asarray(lc), np.asarray(rc), t
+
+        seq = cropped()
+
+    model = PWCNet(config=config.flownet)
+    if args.flow_checkpoint:
+        from .utils.checkpoint import restore_flow_params
+
+        like = init_pwc_params(model, args.height, args.width)
+        params = restore_flow_params(args.flow_checkpoint, like=like)
+    else:
+        params = init_pwc_params(model, args.height, args.width)
+
+    runner = PipelineRunner(
+        config, stereo, params, model,
+        export_dir=args.export_dir, export_every=args.export_every,
+    )
+    results = runner.run(seq, max_frames=args.frames)
+
+    for r in results:
+        print(
+            json.dumps(
+                {
+                    "frame": r.index,
+                    "time": round(r.time, 4),
+                    "valid": r.frame_valid,
+                    "ego": r.ego_success,
+                    "detections": [
+                        {
+                            "id": int(i),
+                            "center": c.tolist(),
+                            "velocity": v.tolist(),
+                            "bbox": b.tolist(),
+                        }
+                        for i, c, v, b in zip(
+                            r.detections["id"],
+                            r.detections["center"],
+                            r.detections["velocity"],
+                            r.detections["bounding_box"],
+                        )
+                    ],
+                    "tracks": [
+                        {
+                            "id": int(i),
+                            "center": c.tolist(),
+                            "velocity": v.tolist(),
+                        }
+                        for i, c, v in zip(
+                            r.tracks["id"],
+                            r.tracks["center"],
+                            r.tracks["velocity"],
+                        )
+                    ],
+                }
+            )
+        )
+    if args.report:
+        print(runner.report(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
