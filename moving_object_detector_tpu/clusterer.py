@@ -30,6 +30,7 @@ def cluster_scene_flow(
     config: ClustererConfig = ClustererConfig(),
     dynamic_speed: jnp.ndarray | None = None,
     depth_diff: jnp.ndarray | None = None,
+    cluster_size: jnp.ndarray | None = None,
 ):
     """Cluster dynamic pixels into moving objects.
 
@@ -48,6 +49,9 @@ def cluster_scene_flow(
     )
     depth_diff = (
         jnp.float32(config.depth_diff) if depth_diff is None else depth_diff
+    )
+    cluster_size = (
+        jnp.int32(config.cluster_size) if cluster_size is None else cluster_size
     )
 
     h, w = cloud.points.shape[:2]
@@ -80,7 +84,7 @@ def cluster_scene_flow(
     sizes = jax.ops.segment_sum(
         jnp.ones((n,), jnp.int32), flat_labels, num_segments=n + 1
     )
-    min_size = jnp.maximum(jnp.int32(config.cluster_size), 2)
+    min_size = jnp.maximum(cluster_size, 2)
     # A root is a pixel whose label equals its own flat index.
     is_root = flat_labels == jnp.arange(n, dtype=jnp.int32)
     big_root = (sizes[:n] >= min_size) & is_root

@@ -131,6 +131,7 @@ def detect_step(
     config: PipelineConfig,
     flow_model: PWCNet | None = None,
     flow_override: jnp.ndarray | None = None,
+    tunables=None,
 ):
     """One full frame: stereo pair -> disparity, ego-motion, optical flow,
     scene flow, detections, tracks. The single-program equivalent of
@@ -140,6 +141,12 @@ def detect_step(
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     t = jnp.asarray(t, jnp.float32)
+    if tunables is None:
+        # Constants folded at trace time; pass a Tunables pytree to retune
+        # at runtime without recompiling (dynamic_reconfigure analog).
+        from .tunables import Tunables
+
+        tunables = Tunables.from_config(config)
 
     # --- Perception fan-out (reference threads A/B/C, one XLA program). ---
     disparity_now = compute_disparity(left, right, stereo, config.sgm)
@@ -187,7 +194,7 @@ def detect_step(
         disparity_prev,
         cam,
         dt,
-        jnp.float32(config.scene_flow.dynamic_flow_diff),
+        tunables.dynamic_flow_diff,
     )
     # Reference: no velocity cloud without a previous frame AND a successful
     # ego-motion estimate (construct() null checks,
@@ -197,7 +204,13 @@ def detect_step(
     cloud = SceneFlowCloud(points=cloud.points, velocity=velocity)
 
     # --- Detection (clusterer). ---
-    detections, label_image = cluster_scene_flow(cloud, config.clusterer)
+    detections, label_image = cluster_scene_flow(
+        cloud,
+        config.clusterer,
+        dynamic_speed=tunables.dynamic_speed,
+        depth_diff=tunables.depth_diff,
+        cluster_size=tunables.cluster_size,
+    )
 
     # --- Odometry integration (integrateAndBroadcastTF,
     # scene_flow_constructor.cpp:320-349; base_link == camera here). ---
@@ -209,7 +222,15 @@ def detect_step(
     det_odom = transform_objects(detections, new_pose)
 
     def run_tracker(ts):
-        return track_step(ts, t, det_odom, config.tracker)
+        return track_step(
+            ts,
+            t,
+            det_odom,
+            config.tracker,
+            object_radius=tunables.object_radius,
+            covariance_trace_limit=tunables.covariance_trace_limit,
+            correction_count_limit=tunables.correction_count_limit,
+        )
 
     def skip_tracker(ts):
         empty = MovingObjects.empty(config.tracker.max_tracks)

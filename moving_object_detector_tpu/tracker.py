@@ -155,9 +155,21 @@ def correct(
     t: jnp.ndarray,
     detections: MovingObjects,
     cfg: TrackerConfig,
+    object_radius: jnp.ndarray | None = None,
+    covariance_trace_limit: jnp.ndarray | None = None,
 ) -> TrackerState:
     """Associate + KF-correct + spawn + prune
-    (moving_objects_tracker.cpp:142-197)."""
+    (moving_objects_tracker.cpp:142-197). The two hot thresholds can be
+    passed as traced scalars (dynamic_reconfigure analog)."""
+    object_radius = (
+        jnp.float32(cfg.object_radius) if object_radius is None
+        else object_radius
+    )
+    covariance_trace_limit = (
+        jnp.float32(cfg.covariance_trace_limit)
+        if covariance_trace_limit is None
+        else covariance_trace_limit
+    )
     obs4 = jnp.concatenate(
         [detections.center[:, :2], detections.velocity[:, :2]], axis=1
     )
@@ -210,7 +222,7 @@ def correct(
         obs_i, rec_i, is_cand = inp
         pos = obs_i[:2]
         dist = jnp.linalg.norm(st.mean[:, :2] - pos[None, :], axis=1)
-        close = jnp.any(st.active & (dist < cfg.object_radius * 2.0))
+        close = jnp.any(st.active & (dist < object_radius * 2.0))
         free_slot = jnp.argmin(st.active.astype(jnp.int32))
         have_slot = ~st.active[free_slot]
         do = is_cand & ~close & have_slot
@@ -242,8 +254,8 @@ def correct(
     # Prune on covariance traces (:187-196).
     pos_trace = state.cov[:, 0, 0] + state.cov[:, 1, 1]
     vel_trace = state.cov[:, 2, 2] + state.cov[:, 3, 3]
-    keep = (pos_trace < cfg.covariance_trace_limit) & (
-        vel_trace < cfg.covariance_trace_limit
+    keep = (pos_trace < covariance_trace_limit) & (
+        vel_trace < covariance_trace_limit
     )
     return state.replace(active=state.active & keep)
 
@@ -254,19 +266,32 @@ def track_step(
     t: jnp.ndarray,
     detections: MovingObjects,
     cfg: TrackerConfig = TrackerConfig(),
+    object_radius: jnp.ndarray | None = None,
+    covariance_trace_limit: jnp.ndarray | None = None,
+    correction_count_limit: jnp.ndarray | None = None,
 ):
     """One full tracking update: predict + correct + publish.
 
     Returns (new_state, TrackedObjects) where the published set follows the
     correction-count and freshness gates (moving_objects_tracker.cpp:88-92).
+    The three dynamic_reconfigure tunables may be traced scalars.
     """
     t = jnp.asarray(t, jnp.float32)
+    correction_count_limit = (
+        jnp.int32(cfg.correction_count_limit)
+        if correction_count_limit is None
+        else correction_count_limit
+    )
     state = predict(state, t, cfg)
-    state = correct(state, t, detections, cfg)
+    state = correct(
+        state, t, detections, cfg,
+        object_radius=object_radius,
+        covariance_trace_limit=covariance_trace_limit,
+    )
 
     publish = (
         state.active
-        & (state.correction_count >= cfg.correction_count_limit)
+        & (state.correction_count >= correction_count_limit)
         & (state.last_correction_time == t)
     )
     center = jnp.concatenate(
