@@ -211,7 +211,7 @@ class SyntheticStereoSequence:
         baseline=0.54,
         z_bg=12.0,
         z_obj=6.0,
-        obj_size=(96, 160),
+        obj_size=None,  # default: (height // 4, width // 6)
         obj_speed_px=6.0,
         fps=10.0,
         seed=0,
@@ -221,6 +221,8 @@ class SyntheticStereoSequence:
         self.fx = fx
         self.baseline = baseline
         self.z_bg, self.z_obj = z_bg, z_obj
+        if obj_size is None:
+            obj_size = (height // 4, width // 6)
         self.obj_h, self.obj_w = obj_size
         self.speed = obj_speed_px
         self.fps = fps

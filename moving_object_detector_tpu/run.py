@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(image_crop stage)")
     p.add_argument("--export-dir", default=None)
     p.add_argument("--export-every", type=int, default=5)
+    p.add_argument(
+        "--preset", choices=["default", "tiny"], default="default",
+        help="'tiny' shrinks the flow net and feature counts for quick "
+             "CPU smoke runs",
+    )
     p.add_argument("--flow-checkpoint", default=None,
                    help="orbax checkpoint with trained PWC-Net params")
     p.add_argument("--report", action="store_true",
@@ -58,7 +63,24 @@ def main(argv=None) -> int:
     from .models.pwc_net import PWCNet, init_pwc_params
     from .types import StereoModel
 
-    config = PipelineConfig(height=args.height, width=args.width)
+    if args.preset == "tiny":
+        from .config import EgoMotionConfig, FlowNetConfig, SGMConfig
+
+        config = PipelineConfig(
+            height=args.height,
+            width=args.width,
+            flownet=FlowNetConfig(
+                feature_channels=(8, 16, 32), search_range=2,
+                use_context_net=False, dtype="float32",
+            ),
+            sgm=SGMConfig(max_disparity=32),
+            egomotion=EgoMotionConfig(
+                max_features=64, nms_radius=2, ransac_hypotheses=8,
+                lk_pyramid_levels=1, min_inliers=4,
+            ),
+        )
+    else:
+        config = PipelineConfig(height=args.height, width=args.width)
     stereo = StereoModel.create(
         fx=args.fx, fy=args.fx, cx=args.width / 2.0, cy=args.height / 2.0,
         baseline=args.baseline,
