@@ -111,18 +111,19 @@ def cluster_scene_flow(
     cid = cidmap[flat_labels]  # (n,) in [0, cap]
 
     # AABB per cluster (pcl::getMinMax3D, clusterer_nodelet.cpp:151-161).
+    # Unrolled masked reductions: a 17-bin segment_min lowers to a 467k
+    # -element scatter (~7 ms on TPU); `cap` masked min-reduces are ~0.2 ms.
     pts = cloud.points.reshape(n, 3)
     member = cid < cap
-    safe_pts = jnp.where(member[:, None], pts, 0.0)
-    mins = jax.ops.segment_min(
-        jnp.where(member[:, None], safe_pts, jnp.inf), cid, num_segments=cap + 1
-    )[:cap]
-    maxs = jax.ops.segment_max(
-        jnp.where(member[:, None], safe_pts, -jnp.inf), cid, num_segments=cap + 1
-    )[:cap]
-    csize = jax.ops.segment_sum(
-        member.astype(jnp.int32), cid, num_segments=cap + 1
-    )[:cap]
+    mins_list, maxs_list, csize_list = [], [], []
+    for c in range(cap):
+        in_c = (cid == c)[:, None]
+        mins_list.append(jnp.min(jnp.where(in_c, pts, jnp.inf), axis=0))
+        maxs_list.append(jnp.max(jnp.where(in_c, pts, -jnp.inf), axis=0))
+        csize_list.append(jnp.sum(in_c[:, 0].astype(jnp.int32)))
+    mins = jnp.stack(mins_list)
+    maxs = jnp.stack(maxs_list)
+    csize = jnp.stack(csize_list)
 
     # Median velocity: the member whose ||v|| ranks size/2-th (0-based) in
     # *descending* order (cluster2MovingObject, clusterer_nodelet.cpp:
@@ -147,7 +148,7 @@ def cluster_scene_flow(
         ok = cnt >= target
         return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(0, 30, bisect, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, 22, bisect, (lo, hi))
     # The k-th largest norm is the smallest member norm >= lo (up to f32
     # bisection resolution); take that member's full velocity vector.
     eps = lo * 1e-5 + 1e-7

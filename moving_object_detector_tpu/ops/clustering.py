@@ -100,11 +100,47 @@ def connected_components(
             best = jnp.minimum(best, jnp.where(edge_masks[i], neigh, sentinel))
         return best
 
-    def compress(label):
-        # Pointer jumping: label <- label[label]; sentinel maps to itself.
-        flat = label.reshape(-1)
-        lookup = jnp.concatenate([flat, jnp.array([sentinel], jnp.int32)])
-        return lookup[flat].reshape(h, w)
+    # Long-range propagation: segmented min-scans along rows and columns
+    # over the *direct-adjacency* edges ((0,±1) and (±1,0), which are a
+    # subset of the window's edge set). A scan carries the component's
+    # minimum label across an entire contiguous run in one O(log) pass —
+    # the gather-free replacement for union-find path compression (pointer
+    # jumping costs two 467k-element gathers per iteration, ~6 ms each on
+    # TPU). Window-gap and diagonal edges still merge via the exact sweep;
+    # iterating both to a fixed point yields the exact partition.
+    adj_h = dynamic & _shift2d(dynamic, 0, -1, False) & (
+        jnp.abs(z - _shift2d(z, 0, -1, jnp.inf)) <= depth_diff
+    )
+    adj_v = dynamic & _shift2d(dynamic, -1, 0, False) & (
+        jnp.abs(z - _shift2d(z, -1, 0, jnp.inf)) <= depth_diff
+    )
+
+    def seg_min_scan(label, barrier, axis, reverse):
+        # Classical segmented-scan operator (Blelloch): a segment-start flag
+        # on the later operand blocks the carry; flags accumulate with OR.
+        def op(a, b):
+            am, ab = a
+            bm, bb = b
+            return jnp.where(bb, bm, jnp.minimum(am, bm)), ab | bb
+
+        if reverse:
+            label = jnp.flip(label, axis)
+            barrier = jnp.flip(barrier, axis)
+        m, _ = jax.lax.associative_scan(op, (label, barrier), axis=axis)
+        return jnp.flip(m, axis) if reverse else m
+
+    def propagate(label):
+        # Rows, both directions. barrier = no edge to the previous pixel in
+        # scan order.
+        bar_l = ~adj_h  # no edge to the left neighbor
+        label = seg_min_scan(label, bar_l, axis=1, reverse=False)
+        bar_r = ~_shift2d(adj_h, 0, 1, False)  # no edge to the right
+        label = seg_min_scan(label, bar_r, axis=1, reverse=True)
+        bar_u = ~adj_v
+        label = seg_min_scan(label, bar_u, axis=0, reverse=False)
+        bar_d = ~_shift2d(adj_v, 1, 0, False)
+        label = seg_min_scan(label, bar_d, axis=0, reverse=True)
+        return jnp.where(dynamic, label, sentinel)
 
     def cond(state):
         _, changed, it = state
@@ -112,8 +148,7 @@ def connected_components(
 
     def body(state):
         label, _, it = state
-        new = sweep(label)
-        new = compress(compress(new))
+        new = propagate(sweep(label))
         return new, jnp.any(new != label), it + 1
 
     label, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))

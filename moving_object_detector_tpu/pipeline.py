@@ -195,6 +195,7 @@ def detect_step(
         cam,
         dt,
         tunables.dynamic_flow_diff,
+        transform_prev2now=motion,
     )
     # Reference: no velocity cloud without a previous frame AND a successful
     # ego-motion estimate (construct() null checks,
