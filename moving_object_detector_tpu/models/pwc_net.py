@@ -150,10 +150,10 @@ class PWCNet(nn.Module):
                 up_feat = flow_ops.resize_bilinear(
                     up_feat, (f1.shape[1], f1.shape[2])
                 )
-                # Warp at the level's own scale: flow is kept in full-res
-                # pixel units divided by 2**lvl at each level (we keep
-                # per-level pixel units instead; see scale below).
-                warped = flow_ops.warp(f2.astype(jnp.float32), flow).astype(dt)
+                # Warp in the compute dtype (bf16): halves the gather
+                # traffic of the warp layer; the features are bf16-precision
+                # anyway.
+                warped = flow_ops.warp(f2, flow.astype(dt))
                 corr_in = [up_feat.astype(dt), flow.astype(dt)]
             corr = flow_ops.correlation(
                 f1.astype(jnp.float32),

@@ -1,0 +1,49 @@
+"""Golden regression test: a deterministic synthetic sequence through the
+FULL fused pipeline (SGM + ego-motion + scene flow + clustering + tracking)
+must keep producing the same detections.
+
+Golden values were captured from the pipeline at the round-1 state; the
+tolerances absorb benign numeric drift (different XLA versions, op
+reorderings) while catching semantic regressions in any stage.
+"""
+
+import numpy as np
+
+import tests.test_pipeline as tp
+
+# Per-frame (center, velocity) of the single detection; frame 0 has none.
+GOLDEN = {
+    1: ([-0.6292, -0.0306, 4.0645], [2.0029, 0.0, 0.0]),
+    2: ([-0.4478, -0.0262, 4.0537], [2.0027, 0.0, 0.0]),
+    3: ([-0.1787, -0.0253, 4.0659], [2.0049, 0.0009, -0.0124]),
+    4: ([0.0179, -0.0368, 4.1682], [2.0049, 0.0, 0.0]),
+    5: ([0.2435, -0.0371, 4.2079], [2.0076, 0.0, 0.0]),
+    6: ([0.4509, -0.0461, 4.1894], [1.9992, -0.0164, -0.1645]),
+}
+GOLDEN_TRACK = ([0.4095, -0.0347, 4.1894], [2.0083, -0.0043, -0.1645])
+
+
+def test_pipeline_golden_sequence():
+    state, outputs = tp.run_sequence(7)
+    assert not bool(outputs[0].frame_valid)
+    for k in range(1, 7):
+        det = outputs[k].detections
+        valid = np.asarray(det.valid)
+        assert valid.sum() == 1, f"frame {k}"
+        i = valid.argmax()
+        center = np.asarray(det.center)[i]
+        vel = np.asarray(det.velocity)[i]
+        gc, gv = GOLDEN[k]
+        np.testing.assert_allclose(center, gc, atol=0.08, err_msg=f"frame {k}")
+        np.testing.assert_allclose(vel, gv, atol=0.08, err_msg=f"frame {k}")
+
+    trk = outputs[-1].tracked.objects
+    tv = np.asarray(trk.valid)
+    assert tv.sum() == 1
+    i = tv.argmax()
+    np.testing.assert_allclose(
+        np.asarray(trk.center)[i], GOLDEN_TRACK[0], atol=0.08
+    )
+    np.testing.assert_allclose(
+        np.asarray(trk.velocity)[i], GOLDEN_TRACK[1], atol=0.08
+    )
