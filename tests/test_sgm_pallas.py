@@ -51,3 +51,25 @@ def test_pallas_backend_end_to_end():
     np.testing.assert_allclose(
         np.asarray(out_pl.disparity), np.asarray(out_xla.disparity), atol=1e-4
     )
+
+
+def test_census_cost_kernel_matches_xla():
+    """Fused census+cost kernel (interpret) == XLA census + cost volume on
+    the real image region."""
+    from moving_object_detector_tpu.ops.sgm_pallas import (
+        census_cost_volume_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    h, w, d = 16, 96, 128
+    left = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    right = rng.uniform(0, 1, (h, w)).astype(np.float32)
+    vol = np.asarray(
+        census_cost_volume_pallas(
+            jnp.asarray(left), jnp.asarray(right), d, (5, 5), interpret=True
+        )
+    )
+    cl = sgm.census_transform(jnp.asarray(left), (5, 5))
+    cr = sgm.census_transform(jnp.asarray(right), (5, 5))
+    ref = np.asarray(sgm.hamming_cost_volume_dhw(cl, cr, d))
+    np.testing.assert_array_equal(vol[:, :h, :w], ref)
