@@ -33,12 +33,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Sublane-dim block sizes: int8 tiles need multiples of 32.
+# Sublane-dim block sizes: int8 tiles need multiples of 32; 64 cross-rows
+# per step amortizes the DP chain's op-issue latency (~10% over 32).
 _LANES = 128
-_SUB = 32
-# Leading-dim (scan axis) block lengths.
-_BLK_W = 208  # horizontal kernel: W blocks (1248 = 6 * 208)
-_BLK_H = 96  # vertical kernel: H blocks (384 = 4 * 96)
+_SUB = 64
+# Leading-dim (scan axis) block lengths (VMEM: 2 streams x (blk, SUB, 128)
+# x (1B in + 2B out) x 2 pipeline buffers must stay well under 16 MB).
+_BLK_W = 104
+_BLK_H = 96
 
 
 def _dp_update(carry, cost, p1, p2, flipped=False):
