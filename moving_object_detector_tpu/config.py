@@ -90,9 +90,10 @@ class SGMConfig:
     lr_max_diff: float = 1.0
     subpixel: bool = True
     uniqueness_ratio: float = 0.95
-    # Path-aggregation backend: "auto" picks the Pallas kernels on TPU and
-    # the lax.scan reference on CPU; "pallas_interpret" forces the Pallas
-    # kernels in interpreter mode (CPU parity tests).
+    # SGM backend: "auto" picks the fused v2 Pallas kernels on TPU and the
+    # lax.scan reference ("xla") on CPU; "pallas" forces v2; "pallas_v1"
+    # the superseded cost-volume kernels; *_interpret variants run the
+    # same kernels in interpreter mode (CPU parity tests).
     backend: str = "auto"
 
 

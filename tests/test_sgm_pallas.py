@@ -46,7 +46,7 @@ def test_pallas_backend_end_to_end():
     )
     out_pl = sgm.compute_disparity(
         jnp.asarray(left), jnp.asarray(right), stereo,
-        SGMConfig(max_disparity=128, backend="pallas_interpret"),
+        SGMConfig(max_disparity=128, backend="pallas_v1_interpret"),
     )
     np.testing.assert_allclose(
         np.asarray(out_pl.disparity), np.asarray(out_xla.disparity), atol=1e-4
