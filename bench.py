@@ -5,12 +5,15 @@ Measures sustained stereo pairs/sec of the fused detection pipeline
 KITTI resolution (1242x376 — BASELINE.md working resolution), against the
 north-star target of 200 pairs/sec/chip (BASELINE.json).
 
-Methodology: the N frame steps run inside ONE jitted lax.fori_loop with the
+Methodology: the frame steps run inside ONE jitted lax.fori_loop with the
 pipeline state threaded through (so the device executes N dependent steps
 back-to-back), and a scalar derived from the final step is fetched to the
-host. This is the only reliable protocol on the tunneled TPU backend:
-per-call dispatch costs ~100 ms of round-trip, and block_until_ready alone
-can report completion before device work finishes.
+host. The per-frame time is the SLOPE between two chain lengths, which
+cancels the fixed dispatch round trip. This is the only reliable protocol
+on the tunneled TPU backend: per-call dispatch costs ~25-100 ms of
+round-trip, and block_until_ready can report completion before device work
+finishes (measured: it does not block at all there), so completion is
+forced with the host fetch.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -47,10 +50,8 @@ def main():
     left = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
     right = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
 
-    n = 20
-
     @jax.jit
-    def run_frames(state, left):
+    def run_frames(state, left, n):
         def body(i, carry):
             state, left = carry
             state, out = detect_step(
@@ -70,15 +71,18 @@ def main():
         state, left = jax.lax.fori_loop(0, n, body, (state, left))
         return left[0, 0]
 
-    t0 = time.time()
-    float(run_frames(state0, left))
-    print(f"# compile+first {n} frames: {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    def run(n):
+        t0 = time.time()
+        float(run_frames(state0, left, n))
+        return time.time() - t0
 
+    n1, n2 = 20, 120
     t0 = time.time()
-    float(run_frames(state0, left))
-    dt = time.time() - t0
-    pairs_per_sec = n / dt
+    run(n1)
+    print(f"# compile+first {n1} frames: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    per_frame = (run(n2) - run(n1)) / (n2 - n1)
+    pairs_per_sec = 1.0 / per_frame
 
     baseline = 200.0  # north-star target, BASELINE.json
     print(

@@ -1,0 +1,174 @@
+"""On-device synthetic optical-flow training data (FlyingChairs-style).
+
+The reference ships frozen PWC-Net Caffe weights (dockerfile:108-111); this
+framework trains its own (SURVEY.md §7 step 7: "architecture parity +
+retuned weights"). Since the build environment has no flow dataset, training
+data is *generated on the TPU itself*: layered scenes — a textured
+background under K textured ellipse "objects", every layer moving by its own
+random affine map — rendered twice with the analytic ground-truth flow of
+the topmost layer at each pixel. Everything (multi-octave value-noise
+textures, affine inverse-warps, soft-edged masks, photometric jitter) is
+pure JAX under jit/vmap, so batch generation fuses into the training step
+and the host feeds nothing but PRNG keys.
+
+Flow convention matches the model/pipeline: img1(x) ~ img2(x + flow(x))
+(the PWC warp layer's backward-sampling contract, ops/flow_ops.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import flow_ops
+
+
+def _octave_texture(key, h: int, w: int, octaves: int = 5) -> jnp.ndarray:
+    """Multi-octave value noise in [0, 1]: random coarse grids, bilinearly
+    upsampled and summed with 1/2^k amplitudes."""
+    keys = jax.random.split(key, octaves)
+    out = jnp.zeros((h, w), jnp.float32)
+    amp_total = 0.0
+    for k in range(octaves):
+        gh = max(2, h // (2 ** (octaves - k + 1)))
+        gw = max(2, w // (2 ** (octaves - k + 1)))
+        grid = jax.random.uniform(keys[k], (gh, gw), jnp.float32)
+        amp = 1.0 / (2**k)
+        out = out + amp * jax.image.resize(grid, (h, w), "bilinear")
+        amp_total += amp
+    return out / amp_total
+
+
+def _rand_affine(key, h, w, max_shift, max_rot, max_log_scale):
+    """Random similarity map phi: img1 coords -> img2 coords, about the
+    image center. Returns the 2x2 linear part and translation (as (2,)
+    arrays) of phi."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    theta = jax.random.uniform(k1, (), minval=-max_rot, maxval=max_rot)
+    s = jnp.exp(
+        jax.random.uniform(k2, (), minval=-max_log_scale, maxval=max_log_scale)
+    )
+    t = jax.random.uniform(k3, (2,), minval=-max_shift, maxval=max_shift)
+    c, sn = jnp.cos(theta), jnp.sin(theta)
+    lin = s * jnp.array([[c, -sn], [sn, c]], jnp.float32)  # (2, 2) on (x, y)
+    center = jnp.array([(w - 1) / 2.0, (h - 1) / 2.0], jnp.float32)
+    # phi(p) = lin @ (p - center) + center + t
+    trans = center + t - lin @ center
+    return lin, trans
+
+
+def _apply_affine(lin, trans, xy):
+    """xy: (..., 2) as (x, y). Returns phi(xy)."""
+    return xy @ lin.T + trans
+
+
+def _grid_xy(h, w):
+    x = jnp.arange(w, dtype=jnp.float32)[None, :, None]
+    y = jnp.arange(h, dtype=jnp.float32)[:, None, None]
+    return jnp.concatenate(
+        [jnp.broadcast_to(x, (h, w, 1)), jnp.broadcast_to(y, (h, w, 1))],
+        axis=-1,
+    )  # (h, w, 2)
+
+
+def _invert_affine(lin, trans):
+    inv = jnp.linalg.inv(lin)
+    return inv, -inv @ trans
+
+
+def _ellipse_mask(xy, center, radii, angle, soft: float = 1.0):
+    """Soft ellipse indicator evaluated at xy (..., 2)."""
+    c, sn = jnp.cos(angle), jnp.sin(angle)
+    rel = xy - center
+    u = (rel[..., 0] * c + rel[..., 1] * sn) / radii[0]
+    v = (-rel[..., 0] * sn + rel[..., 1] * c) / radii[1]
+    d = jnp.sqrt(u * u + v * v + 1e-9)
+    return jax.nn.sigmoid((1.0 - d) * radii.min() / soft)
+
+
+@partial(jax.jit, static_argnames=("h", "w", "n_objects"))
+def generate_pair(
+    key,
+    h: int,
+    w: int,
+    n_objects: int = 4,
+    max_shift: float = 24.0,
+    bg_max_shift: float = 10.0,
+):
+    """One (img1, img2, flow) training example, all on device.
+
+    img*: (h, w, 1) f32 in [0, 1]; flow: (h, w, 2) forward flow in pixels.
+    """
+    keys = jax.random.split(key, 4 + 3 * n_objects)
+    xy = _grid_xy(h, w)
+
+    # --- background layer ---
+    bg_tex = _octave_texture(keys[0], h, w)
+    bg_lin, bg_trans = _rand_affine(keys[1], h, w, bg_max_shift, 0.05, 0.05)
+
+    img1 = bg_tex
+    # Flow of the background at every pixel (overwritten by objects on top).
+    flow = _apply_affine(bg_lin, bg_trans, xy) - xy
+
+    # img2 background: img2(y) = img1(phi^-1(y)) -> backward warp by
+    # (phi^-1(y) - y), which is exactly the warp layer's contract.
+    inv_lin, inv_trans = _invert_affine(bg_lin, bg_trans)
+    bg_back = _apply_affine(inv_lin, inv_trans, xy) - xy
+    img2 = flow_ops.warp(bg_tex[None, :, :, None], bg_back[None])[0, :, :, 0]
+
+    # --- object layers (later objects composite on top) ---
+    min_dim = min(h, w)
+    for i in range(n_objects):
+        kt, kp, km = keys[4 + 3 * i : 7 + 3 * i]
+        tex = _octave_texture(kt, h, w)
+        lin, trans = _rand_affine(kp, h, w, max_shift, 0.3, 0.15)
+
+        pk = jax.random.split(km, 4)
+        center = jax.random.uniform(
+            pk[0], (2,),
+            minval=jnp.array([0.15 * w, 0.15 * h]),
+            maxval=jnp.array([0.85 * w, 0.85 * h]),
+        )
+        radii = jax.random.uniform(
+            pk[1], (2,), minval=0.06 * min_dim, maxval=0.22 * min_dim
+        )
+        angle = jax.random.uniform(pk[2], (), minval=0.0, maxval=3.14159)
+
+        m1 = _ellipse_mask(xy, center, radii, angle)  # mask in img1
+        obj_flow = _apply_affine(lin, trans, xy) - xy
+
+        img1 = m1 * tex + (1.0 - m1) * img1
+        flow = m1[..., None] * obj_flow + (1.0 - m1[..., None]) * flow
+
+        # In img2 the object (texture AND mask) lives at phi(object):
+        # evaluate both at phi^-1(y).
+        ilin, itrans = _invert_affine(lin, trans)
+        src = _apply_affine(ilin, itrans, xy)
+        m2 = _ellipse_mask(src, center, radii, angle)
+        tex2 = flow_ops.warp(
+            tex[None, :, :, None], (src - xy)[None]
+        )[0, :, :, 0]
+        img2 = m2 * tex2 + (1.0 - m2) * img2
+
+    # --- photometric jitter + sensor noise (robustness) ---
+    jk1, jk2 = jax.random.split(keys[2])
+    gain = jax.random.uniform(jk1, (), minval=0.85, maxval=1.15)
+    bias = jax.random.uniform(jk2, (), minval=-0.08, maxval=0.08)
+    noise = 0.015 * jax.random.normal(keys[3], (h, w, 2))
+    img2 = jnp.clip(img2 * gain + bias + noise[..., 1], 0.0, 1.0)
+    img1 = jnp.clip(img1 + noise[..., 0], 0.0, 1.0)
+
+    return img1[..., None], img2[..., None], flow
+
+
+@partial(jax.jit, static_argnames=("batch", "h", "w", "n_objects"))
+def generate_batch(key, batch: int, h: int, w: int, n_objects: int = 4):
+    """dict(img1, img2, flow) with a leading batch axis, generated on
+    device — drop-in for the training loop's batch source."""
+    keys = jax.random.split(key, batch)
+    img1, img2, flow = jax.vmap(
+        lambda k: generate_pair(k, h, w, n_objects)
+    )(keys)
+    return {"img1": img1, "img2": img2, "flow": flow}

@@ -64,6 +64,61 @@ class StageTimer:
         return "\n".join(lines)
 
 
+def consume(carry, out):
+    """Fold a REAL (non-elidable) scalar dependency on ``out`` into
+    ``carry`` so a timed stage cannot be dead-code-eliminated.
+
+    Do NOT use ``carry + 0 * scalar`` for this: for integer scalars XLA
+    constant-folds ``0 * x`` to 0 and then deletes the whole stage.
+    ``.at[0...].add(scalar)`` is a true data dependency (the tiny value
+    drift is irrelevant for timing).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    scalar = jnp.ravel(leaf)[0]
+    first = jax.tree_util.tree_leaves(carry)[0]
+    bumped = first.at[(0,) * first.ndim].add(scalar.astype(first.dtype))
+    leaves, treedef = jax.tree_util.tree_flatten(carry)
+    return jax.tree_util.tree_unflatten(treedef, [bumped] + leaves[1:])
+
+
+def chain_slope_ms(
+    step, init, n1: int = 20, n2: int = 120, samples: int = 3
+) -> float:
+    """Per-step device time of ``step`` (pytree -> same-structure pytree),
+    measured as the median slope between two jitted ``fori_loop`` chain
+    lengths.
+
+    This is the only reliable protocol on the tunneled TPU backend:
+    ``jax.block_until_ready`` can return before device work finishes there,
+    so completion is forced with a host fetch of one scalar, and the fixed
+    dispatch round trip (~25-100 ms, high variance — hence the median of
+    several slope samples) is cancelled by differencing the two chain
+    lengths.
+    """
+    import jax
+
+    f = jax.jit(
+        lambda x, m: jax.lax.fori_loop(0, m, lambda i, v: step(v), x)
+    )
+
+    def fetch_scalar(tree):
+        leaf = jax.tree_util.tree_leaves(tree)[0]
+        return np.asarray(leaf).ravel()[0]
+
+    def run(m):
+        t0 = time.perf_counter()
+        fetch_scalar(f(init, m))
+        return time.perf_counter() - t0
+
+    run(n1)  # compile before timing
+    t1 = min(run(n1) for _ in range(samples))
+    t2 = min(run(n2) for _ in range(samples))
+    return (t2 - t1) / (n2 - n1) * 1e3
+
+
 @contextlib.contextmanager
 def trace_context(log_dir: str | None) -> Iterator[None]:
     """Wrap a region in a jax.profiler trace when ``log_dir`` is given;

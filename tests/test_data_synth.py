@@ -1,0 +1,48 @@
+"""On-device synthetic flow data: the generated (img1, img2, flow) triple
+must actually satisfy the flow convention img1(x) ~ img2(x + flow(x))
+(ops/flow_ops.py warp contract) away from occlusions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moving_object_detector_tpu.ops import flow_ops
+from moving_object_detector_tpu.train.data_synth import (
+    generate_batch,
+    generate_pair,
+)
+
+
+def test_shapes_and_ranges():
+    img1, img2, flow = generate_pair(jax.random.PRNGKey(0), 96, 160)
+    assert img1.shape == (96, 160, 1) and img2.shape == (96, 160, 1)
+    assert flow.shape == (96, 160, 2)
+    assert float(img1.min()) >= 0.0 and float(img1.max()) <= 1.0
+    assert float(img2.min()) >= 0.0 and float(img2.max()) <= 1.0
+    # Motion exists and is bounded by construction.
+    mag = jnp.sqrt(jnp.sum(flow**2, axis=-1))
+    assert float(mag.max()) > 1.0
+    assert float(mag.max()) < 120.0
+
+
+def test_photometric_consistency():
+    """Backward-warping img2 by the GT flow must reproduce img1 except at
+    occlusions/out-of-frame (checked via median error, robust to both)."""
+    img1, img2, flow = generate_pair(jax.random.PRNGKey(3), 128, 192)
+    rewarped = flow_ops.warp(img2[None], flow[None])[0]
+    err = np.asarray(jnp.abs(rewarped - img1)[..., 0])
+    # interior only (image-border flow may leave the frame)
+    interior = err[16:-16, 16:-16]
+    assert np.median(interior) < 0.06, np.median(interior)
+    # most pixels consistent (occluded ones are the exception)
+    assert (interior < 0.15).mean() > 0.75, (interior < 0.15).mean()
+
+
+def test_batch_and_determinism():
+    b1 = generate_batch(jax.random.PRNGKey(7), 3, 64, 96)
+    b2 = generate_batch(jax.random.PRNGKey(7), 3, 64, 96)
+    assert b1["img1"].shape == (3, 64, 96, 1)
+    assert b1["flow"].shape == (3, 64, 96, 2)
+    np.testing.assert_array_equal(b1["img2"], b2["img2"])
+    # distinct samples within a batch
+    assert float(jnp.abs(b1["img1"][0] - b1["img1"][1]).max()) > 0.05
