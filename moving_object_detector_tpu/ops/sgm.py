@@ -239,19 +239,13 @@ def wta_disparity(total: jnp.ndarray, cfg: SGMConfig) -> jnp.ndarray:
     return jnp.where(valid, disp, -1.0)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def compute_disparity(
-    left: jnp.ndarray,
-    right: jnp.ndarray,
-    stereo: StereoModel,
-    cfg: SGMConfig = SGMConfig(),
-) -> DisparityImage:
-    """Full SGM stereo: (H, W) grayscale pair -> DisparityImage.
-
-    The TPU equivalent of sgm_gpu::SgmGpu::computeDisparity
-    (scene_flow_constructor.cpp:267-268), including the f/T/min/max metadata
-    the downstream DisparityImageProcessor relies on.
-    """
+def sgm_disparity_raw(
+    left: jnp.ndarray, right: jnp.ndarray, cfg: SGMConfig = SGMConfig()
+) -> jnp.ndarray:
+    """Backend-dispatched SGM producing the raw (H, W) f32 disparity map
+    (-1 = invalid), without the DisparityImage metadata wrapper. This is the
+    kernel entry the spatial-sharding layer calls per row stripe
+    (parallel/spatial.py)."""
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     window = cfg.census_window
@@ -336,6 +330,23 @@ def compute_disparity(
             jnp.transpose(vol_dhw, (1, 2, 0)).astype(jnp.float32), cfg
         )
         disp = wta_disparity(total, cfg)
+    return disp
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def compute_disparity(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    stereo: StereoModel,
+    cfg: SGMConfig = SGMConfig(),
+) -> DisparityImage:
+    """Full SGM stereo: (H, W) grayscale pair -> DisparityImage.
+
+    The TPU equivalent of sgm_gpu::SgmGpu::computeDisparity
+    (scene_flow_constructor.cpp:267-268), including the f/T/min/max metadata
+    the downstream DisparityImageProcessor relies on.
+    """
+    disp = sgm_disparity_raw(left, right, cfg)
     return DisparityImage.create(
         disp,
         f=stereo.cam.fx,

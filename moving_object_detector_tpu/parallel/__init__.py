@@ -12,10 +12,13 @@ from .mesh import (
     make_pipeline_mesh,
     shard_batch,
 )
+from .spatial import compute_disparity_spatial, flow_forward_spatial
 
 __all__ = [
     "create_mesh",
     "flow_param_sharding",
     "make_pipeline_mesh",
     "shard_batch",
+    "compute_disparity_spatial",
+    "flow_forward_spatial",
 ]

@@ -1,0 +1,152 @@
+"""Spatial (row-stripe) sharding of the perception kernels over a mesh axis.
+
+Scales ONE camera across several chips — the complement of the stream data
+parallelism in parallel/streams.py. The image's row axis is sharded over the
+mesh's ``model`` axis with `shard_map`; each device computes its stripe
+extended by an exchanged halo (one `ppermute` per neighbor direction over
+ICI), then crops the halo off. This is the TPU analog of the reference's
+"crop the image so it fits the GPU" scaling story (image_crop,
+detect_with_zed.launch:10-14) — except the resolution is kept and the
+hardware is scaled instead.
+
+Exactness contract:
+
+* Optical flow (PWC-Net): convolutional with a finite receptive field, so a
+  halo of 64 px (one full pyramid stride) makes interior pixels match the
+  unsharded result up to boundary-bleed at the coarsest pyramid levels —
+  approximate near stripe seams, identical elsewhere.
+* SGM: horizontal DP paths, WTA, LR-check are row-local (exact under row
+  sharding). The vertical DP paths are global recurrences; stripe processing
+  warms them up over the halo rows, the standard "striped SGM" scheme of
+  embedded/FPGA SGM implementations. The `- prev_min` normalization in the
+  DP update (ops/sgm.py:_dp_step) makes a path's influence decay within a
+  few dozen rows on textured input, so a 32-row halo bounds the seam error
+  to a small fraction of pixels (asserted in tests/test_spatial.py).
+
+Boundary stripes fill their missing outer halo by edge replication; the
+filled rows are census/DP warm-up context only and are always cropped.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map as _shard_map_impl
+
+    def _smap(mesh, in_specs, out_specs):
+        return partial(
+            _shard_map_impl, mesh=mesh, in_specs=in_specs,
+            out_specs=out_specs, check_vma=False,
+        )
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_impl
+
+    def _smap(mesh, in_specs, out_specs):
+        return partial(
+            _shard_map_impl, mesh=mesh, in_specs=in_specs,
+            out_specs=out_specs, check_rep=False,
+        )
+
+from ..config import SGMConfig
+from ..ops.sgm import sgm_disparity_raw
+from ..types import DisparityImage, StereoModel
+
+
+def _neighbor_rows(x: jnp.ndarray, halo: int, axis_name: str, n: int):
+    """(top_halo, bottom_halo) rows for the local stripe: the previous
+    shard's last rows and the next shard's first rows, exchanged over ICI;
+    edge-replicated where there is no neighbor (first/last stripe)."""
+    idx = jax.lax.axis_index(axis_name)
+    top_rows = x[:halo]
+    bot_rows = x[-halo:]
+    # My bottom rows become the next shard's top halo, and vice versa.
+    from_prev = jax.lax.ppermute(
+        bot_rows, axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_next = jax.lax.ppermute(
+        top_rows, axis_name, [(i + 1, i) for i in range(n - 1)]
+    )
+    edge_top = jnp.broadcast_to(x[:1], from_prev.shape)
+    edge_bot = jnp.broadcast_to(x[-1:], from_next.shape)
+    top = jnp.where(idx == 0, edge_top, from_prev)
+    bot = jnp.where(idx == n - 1, edge_bot, from_next)
+    return top, bot
+
+
+def _with_halo(x: jnp.ndarray, halo: int, axis_name: str, n: int):
+    top, bot = _neighbor_rows(x, halo, axis_name, n)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def compute_disparity_spatial(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    stereo: StereoModel,
+    cfg: SGMConfig,
+    mesh: Mesh,
+    axis: str = "model",
+    halo: int = 32,
+) -> DisparityImage:
+    """SGM with the row axis sharded over ``mesh.shape[axis]`` devices.
+
+    left/right: (H, W) with H divisible by the axis size; halo must not
+    exceed the stripe height.
+    """
+    n = mesh.shape[axis]
+    h = left.shape[0]
+    assert h % n == 0, (h, n)
+    assert halo <= h // n, f"halo {halo} exceeds stripe height {h // n}"
+
+    @_smap(mesh, (P(axis), P(axis)), P(axis))
+    def run(l, r):
+        le = _with_halo(l, halo, axis, n)
+        re = _with_halo(r, halo, axis, n)
+        disp = sgm_disparity_raw(le, re, cfg)
+        return disp[halo:-halo]
+
+    disp = run(left, right)
+    return DisparityImage.create(
+        disp,
+        f=stereo.cam.fx,
+        t=stereo.baseline,
+        min_disparity=0.0,
+        max_disparity=float(cfg.max_disparity - 1),
+    )
+
+
+def flow_forward_spatial(
+    flow_params,
+    flow_model,
+    prev_img: jnp.ndarray,
+    now_img: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+    halo: int = 64,
+) -> jnp.ndarray:
+    """PWC-Net forward with the row axis sharded over ``axis``.
+
+    prev_img/now_img: (H, W) f32; returns (H, W, 2) flow. Each stripe runs
+    the full pyramid on its halo-extended rows (the net pads internally to
+    the pyramid stride), then crops.
+    """
+    from ..pipeline import _flow_forward
+
+    n = mesh.shape[axis]
+    h = now_img.shape[0]
+    assert h % n == 0, (h, n)
+    assert halo <= h // n, f"halo {halo} exceeds stripe height {h // n}"
+
+    param_specs = jax.tree_util.tree_map(lambda _: P(), flow_params)
+
+    @_smap(mesh, (param_specs, P(axis), P(axis)), P(axis))
+    def run(params, p, q):
+        pe = _with_halo(p, halo, axis, n)
+        qe = _with_halo(q, halo, axis, n)
+        flow = _flow_forward(params, flow_model, pe, qe)
+        return flow[halo:-halo]
+
+    return run(flow_params, prev_img, now_img)

@@ -32,12 +32,24 @@ class FlowTrainState:
 
 def create_train_state(
     model: PWCNet, height: int, width: int, learning_rate: float = 1e-4,
-    key=None,
+    key=None, total_steps: int | None = None, warmup_steps: int = 500,
 ) -> tuple[FlowTrainState, optax.GradientTransformation]:
+    """``total_steps`` switches the constant LR to linear-warmup + cosine
+    decay (the schedule shape of the original PWC-Net training recipe)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, height, width, 1), jnp.float32)
     params = model.init(key, dummy, dummy)
-    tx = optax.adamw(learning_rate, weight_decay=4e-4)
+    if total_steps is not None:
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, min(warmup_steps, total_steps // 10 + 1),
+            total_steps, end_value=learning_rate * 0.02,
+        )
+    else:
+        lr = learning_rate
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(lr, weight_decay=4e-4),
+    )
     return FlowTrainState(
         params=params, opt_state=tx.init(params), step=jnp.int32(0)
     ), tx
@@ -105,6 +117,59 @@ def make_sharded_train_step(model: PWCNet, tx, mesh, state: FlowTrainState):
     jitted = jax.jit(
         step_fn,
         in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, NamedSharding(mesh, P())),
+    )
+    sharded_state = jax.device_put(state, state_sh)
+    return jitted, sharded_state
+
+
+def make_chunked_train_step(
+    model: PWCNet,
+    tx,
+    mesh,
+    state: FlowTrainState,
+    height: int,
+    width: int,
+    batch: int,
+    chunk: int,
+    n_objects: int = 4,
+):
+    """Jit ``chunk`` train steps into ONE dispatch, with the training data
+    generated on device (train/data_synth.py layered affine scenes) inside
+    the same program: ``(state, key) -> (state, mean-metrics)``.
+
+    This is the only way to train efficiently over the tunneled TPU backend
+    (~25-100 ms dispatch round trip per call — chaining amortizes it to
+    nothing) and it also removes all host->device batch traffic: the host
+    feeds one PRNG key per chunk. Batch shards over the mesh 'data' axis,
+    params over 'model', as in make_sharded_train_step.
+    """
+    from .data_synth import generate_batch
+
+    param_sh = flow_param_sharding(mesh, state.params)
+    opt_sh = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), state.opt_state
+    )
+    state_sh = FlowTrainState(
+        params=param_sh, opt_state=opt_sh, step=NamedSharding(mesh, P())
+    )
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    def body(st, k):
+        data = generate_batch(k, batch, height, width, n_objects)
+        data = jax.lax.with_sharding_constraint(
+            data, {n: batch_sh for n in data}
+        )
+        return train_step(model, tx, st, data)
+
+    def chunk_fn(st, key):
+        keys = jax.random.split(key, chunk)
+        st, ms = jax.lax.scan(body, st, keys)
+        return st, jax.tree_util.tree_map(jnp.mean, ms)
+
+    jitted = jax.jit(
+        chunk_fn,
+        in_shardings=(state_sh, NamedSharding(mesh, P())),
         out_shardings=(state_sh, NamedSharding(mesh, P())),
     )
     sharded_state = jax.device_put(state, state_sh)

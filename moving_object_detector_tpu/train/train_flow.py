@@ -31,8 +31,18 @@ def build_parser():
     p.add_argument("--resume", default=None,
                    help="checkpoint to resume params from")
     p.add_argument("--dataset", default=None,
-                   help=".npz with img1/img2/flow arrays; default: synthetic"
-                        " random-warp pairs")
+                   help=".npz with img1/img2/flow arrays; default: on-device"
+                        " layered-scene generator (train/data_synth.py)")
+    p.add_argument("--roll-data", action="store_true",
+                   help="use the trivial host-side random-roll pairs instead"
+                        " of the on-device generator")
+    p.add_argument("--chunk", type=int, default=50,
+                   help="train steps fused into one dispatch (on-device data"
+                        " only); amortizes the tunnel round trip")
+    p.add_argument("--n-objects", type=int, default=4,
+                   help="moving objects per generated scene")
+    p.add_argument("--save-every", type=int, default=0,
+                   help="also checkpoint every N steps (0 = only at the end)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--tiny", action="store_true",
@@ -51,6 +61,7 @@ def main(argv=None) -> int:
     from ..parallel.mesh import create_mesh
     from .flow_trainer import (
         create_train_state,
+        make_chunked_train_step,
         make_sharded_train_step,
         synthetic_flow_batch,
     )
@@ -64,7 +75,7 @@ def main(argv=None) -> int:
     model = PWCNet(config=cfg)
     state, tx = create_train_state(
         model, args.height, args.width, learning_rate=args.lr,
-        key=jax.random.PRNGKey(args.seed),
+        key=jax.random.PRNGKey(args.seed), total_steps=args.steps,
     )
     if args.resume:
         from ..utils.checkpoint import restore_flow_params
@@ -75,6 +86,41 @@ def main(argv=None) -> int:
 
     n_dev = jax.device_count()
     mesh = create_mesh(n_dev, model_parallel=args.model_parallel)
+
+    def save(st, tag=""):
+        if not args.checkpoint:
+            return
+        from ..utils.checkpoint import save_flow_params
+
+        save_flow_params(args.checkpoint + tag, jax.device_get(st.params))
+        print(f"saved params to {args.checkpoint}{tag}", file=sys.stderr)
+
+    t0 = time.time()
+    if args.dataset is None and not args.roll_data:
+        # On-device data + chunked steps: one dispatch per `chunk` steps.
+        chunk = max(1, min(args.chunk, args.steps))
+        step_fn, state = make_chunked_train_step(
+            model, tx, mesh, state, args.height, args.width, args.batch,
+            chunk, n_objects=args.n_objects,
+        )
+        key = jax.random.PRNGKey(args.seed + 1)
+        with mesh:
+            done = 0
+            while done < args.steps:
+                key, sub = jax.random.split(key)
+                state, metrics = step_fn(state, sub)
+                done += chunk
+                print(
+                    f"step {done:6d} loss {float(metrics['loss']):.4f} "
+                    f"epe {float(metrics['epe']):.3f} "
+                    f"({(time.time() - t0):.1f}s)",
+                    flush=True,
+                )
+                if args.save_every and done % args.save_every < chunk:
+                    save(state, tag=f".step{done}")
+        save(state)
+        return 0
+
     step_fn, state = make_sharded_train_step(model, tx, mesh, state)
 
     rng = np.random.default_rng(args.seed)
@@ -93,7 +139,6 @@ def main(argv=None) -> int:
             "flow": jnp.asarray(data["flow"][idx]),
         }
 
-    t0 = time.time()
     with mesh:
         for k in range(args.steps):
             state, metrics = step_fn(state, next_batch())
@@ -105,11 +150,7 @@ def main(argv=None) -> int:
                     flush=True,
                 )
 
-    if args.checkpoint:
-        from ..utils.checkpoint import save_flow_params
-
-        save_flow_params(args.checkpoint, jax.device_get(state.params))
-        print(f"saved params to {args.checkpoint}", file=sys.stderr)
+    save(state)
     return 0
 
 
