@@ -75,40 +75,48 @@ def cluster_scene_flow(
     )
     flat_labels = labels.reshape(-1)
 
-    # Component sizes; drop those below cluster_size (removeSmallClusters,
-    # clusterer_nodelet.cpp:354-393). Note: like the reference, a lone
-    # dynamic pixel with no edges still forms a (size-1) component here,
-    # whereas the reference only creates clusters on edges — irrelevant
-    # because cluster_size >= 2 always removes singletons in practice; we
-    # additionally require size >= 2 for exact parity.
-    sizes = jax.ops.segment_sum(
-        jnp.ones((n,), jnp.int32), flat_labels, num_segments=n + 1
-    )
+    # Component sizes + root selection, scatter/gather-free (both lower to
+    # ~467k-update serialized ops on TPU, measured ~7 ms on busy frames):
+    # sort the labels once, measure run lengths with scans, and pick the
+    # first `cap` runs of size >= cluster_size. Sorted order is ascending
+    # label = ascending raster index of the component's first member, the
+    # same ordering the reference's removeSmallClusters renumbering
+    # produces (clusterer_nodelet.cpp:354-393). Like the reference, a lone
+    # dynamic pixel still forms a (size-1) component; min_size >= 2 removes
+    # singletons for exact parity.
     min_size = jnp.maximum(cluster_size, 2)
-    # A root is a pixel whose label equals its own flat index.
-    is_root = flat_labels == jnp.arange(n, dtype=jnp.int32)
-    big_root = (sizes[:n] >= min_size) & is_root
+    pos = jnp.arange(n, dtype=jnp.int32)
+    s = jnp.sort(flat_labels)
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]]
+    )  # first element of each run
+    # Run length at each start: distance to the next start. rcm[i] = min
+    # start-position >= i; the next start after a run starting at i is
+    # rcm shifted left by one (n past the end).
+    startpos = jnp.where(start, pos, n)
+    rcm = jax.lax.associative_scan(jnp.minimum, startpos, reverse=True)
+    nxt = jnp.concatenate([rcm[1:], jnp.full((1,), n, jnp.int32)])
+    size = nxt - pos  # meaningful at starts only
+    big_start = start & (size >= min_size) & (s < n)
 
-    # Select up to `cap` roots in ascending raster order: rank each big root
-    # by prefix count and scatter its pixel index into its rank slot (an
-    # O(N) cumsum instead of a 467k-element top_k).
-    rank = jnp.cumsum(big_root.astype(jnp.int32)) - 1
-    slot = jnp.where(big_root & (rank < cap), rank, cap)
-    roots = (
-        jnp.full((cap + 1,), n, jnp.int32)
-        .at[slot]
-        .min(jnp.where(slot < cap, jnp.arange(n, dtype=jnp.int32), n))[:cap]
-    )
+    # Rank big runs in sorted (= ascending-root) order; take the first cap.
+    rank = jnp.cumsum(big_start.astype(jnp.int32)) - 1
+    roots_list = []
+    for c in range(cap):
+        sel = big_start & (rank == c)
+        roots_list.append(jnp.min(jnp.where(sel, s, n)))
+    roots = jnp.stack(roots_list)  # (cap,) label value = root flat index
     root_valid = roots < n
 
-    # Map every pixel's label to a compact id in [0, cap), cap = background.
-    cidmap = jnp.full((n + 1,), cap, jnp.int32)
-    cidmap = cidmap.at[jnp.where(root_valid, roots, n)].set(
-        jnp.where(root_valid, jnp.arange(cap, dtype=jnp.int32), cap)
-    )
-    # Background sentinel stays `cap` even if an invalid root aliased slot n.
-    cidmap = cidmap.at[n].set(cap)
-    cid = cidmap[flat_labels]  # (n,) in [0, cap]
+    # Compact id per pixel: cap masked passes instead of a 467k-element
+    # table gather.
+    cid = jnp.full((n,), cap, jnp.int32)
+    for c in range(cap):
+        # The (roots[c] < n) guard keeps invalid slots (sentinel n) from
+        # claiming the background label.
+        cid = jnp.where(
+            (roots[c] < n) & (flat_labels == roots[c]), jnp.int32(c), cid
+        )
 
     # AABB per cluster (pcl::getMinMax3D, clusterer_nodelet.cpp:151-161).
     # Unrolled masked reductions: a 17-bin segment_min lowers to a 467k

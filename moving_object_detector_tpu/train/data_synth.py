@@ -164,11 +164,21 @@ def generate_pair(
 
 
 @partial(jax.jit, static_argnames=("batch", "h", "w", "n_objects"))
-def generate_batch(key, batch: int, h: int, w: int, n_objects: int = 4):
+def generate_batch(
+    key,
+    batch: int,
+    h: int,
+    w: int,
+    n_objects: int = 4,
+    max_shift: float = 24.0,
+    bg_max_shift: float = 10.0,
+):
     """dict(img1, img2, flow) with a leading batch axis, generated on
-    device — drop-in for the training loop's batch source."""
+    device — drop-in for the training loop's batch source. ``max_shift`` /
+    ``bg_max_shift`` bound the object/background translations (curriculum
+    knob: train small motions first)."""
     keys = jax.random.split(key, batch)
     img1, img2, flow = jax.vmap(
-        lambda k: generate_pair(k, h, w, n_objects)
+        lambda k: generate_pair(k, h, w, n_objects, max_shift, bg_max_shift)
     )(keys)
     return {"img1": img1, "img2": img2, "flow": flow}

@@ -133,6 +133,8 @@ def make_chunked_train_step(
     batch: int,
     chunk: int,
     n_objects: int = 4,
+    max_shift: float = 24.0,
+    bg_max_shift: float = 10.0,
 ):
     """Jit ``chunk`` train steps into ONE dispatch, with the training data
     generated on device (train/data_synth.py layered affine scenes) inside
@@ -156,7 +158,9 @@ def make_chunked_train_step(
     batch_sh = NamedSharding(mesh, P("data"))
 
     def body(st, k):
-        data = generate_batch(k, batch, height, width, n_objects)
+        data = generate_batch(
+            k, batch, height, width, n_objects, max_shift, bg_max_shift
+        )
         data = jax.lax.with_sharding_constraint(
             data, {n: batch_sh for n in data}
         )
