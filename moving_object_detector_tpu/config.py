@@ -134,6 +134,15 @@ class FlowNetConfig:
     feature_channels: Tuple[int, ...] = (16, 32, 64, 96, 128, 196)
     use_context_net: bool = True
     dtype: str = "bfloat16"
+    # Correlation-layer backend: "pallas" = fused VMEM kernel
+    # (ops/flow_corr_pallas.py), "xla" = shift-and-reduce, "auto" = pallas
+    # on accelerators. Default flips to "auto" once the kernel is
+    # hardware-validated against the XLA oracle on the real chip.
+    corr_backend: str = "xla"
+    # Warp-layer backend: "gather" = exact bilinear (default); "two_pass" =
+    # gather-free approximate fast path (ops/flow_ops.py warp_two_pass) —
+    # train and serve with the same setting.
+    warp_backend: str = "gather"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -32,6 +32,21 @@ def _dtype(cfg: FlowNetConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+def _correlation_dispatch(f1, f2, search_range: int, backend: str):
+    """Correlation-layer backend dispatch (FlowNetConfig.corr_backend)."""
+    if backend == "auto":
+        backend = (
+            "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        )
+    if backend in ("pallas", "pallas_interpret"):
+        from ..ops.flow_corr_pallas import correlation_pallas
+
+        return correlation_pallas(
+            f1, f2, search_range, interpret=backend == "pallas_interpret"
+        )
+    return flow_ops.correlation(f1, f2, search_range)
+
+
 class ConvBlock(nn.Module):
     features: int
     stride: int = 1
@@ -153,12 +168,16 @@ class PWCNet(nn.Module):
                 # Warp in the compute dtype (bf16): halves the gather
                 # traffic of the warp layer; the features are bf16-precision
                 # anyway.
-                warped = flow_ops.warp(f2, flow.astype(dt))
+                if cfg.warp_backend == "two_pass":
+                    warped = flow_ops.warp_two_pass(f2, flow.astype(dt))
+                else:
+                    warped = flow_ops.warp(f2, flow.astype(dt))
                 corr_in = [up_feat.astype(dt), flow.astype(dt)]
-            corr = flow_ops.correlation(
+            corr = _correlation_dispatch(
                 f1.astype(jnp.float32),
                 warped.astype(jnp.float32),
                 cfg.search_range,
+                cfg.corr_backend,
             ).astype(dt)
             corr = nn.leaky_relu(corr, 0.1)
             x = jnp.concatenate([corr, f1] + corr_in, axis=-1)

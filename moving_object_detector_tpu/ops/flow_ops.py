@@ -16,6 +16,7 @@ SURVEY.md §2.3). Here they are expressed as batched XLA programs:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -55,6 +56,67 @@ def warp(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         + p10 * (1 - du) * dv
         + p11 * du * dv
     )
+    return jnp.where(inside[..., None], out, 0.0)
+
+
+def warp_two_pass(
+    features: jnp.ndarray,
+    flow: jnp.ndarray,
+    max_dy: int = 32,
+    max_dx: int = 32,
+) -> jnp.ndarray:
+    """Approximate ``warp`` without gathers: two axis-separated passes of
+    windowed shift-and-select accumulation (2R+1 weighted shifted slices —
+    dense VPU work XLA fuses well, vs. arbitrary-pattern gathers that
+    serialize on TPU).
+
+    APPROXIMATION: pass 2 samples the vertically-warped intermediate at
+    x + u(y, x), so the vertical coordinate it picks up was computed with
+    v(y, x + u) rather than v(y, x) — the classic two-pass backward-warp
+    error, O(|u| * |dv/dx|). Exact for flows constant along rows (and for
+    all constant flows); small for the smooth upsampled inter-level flows
+    of a PWC cascade; wrong-ish only near motion boundaries, where the
+    correlation search absorbs it. Opt-in speed/quality tradeoff
+    (FlowNetConfig.warp_backend) — train and serve with the same setting.
+
+    Components beyond the +-(max-1) window are clamped; out-of-image
+    samples are zero, matching ``warp``.
+    """
+    b, h, w, c = features.shape
+    rv = min(max_dy, h)
+    rh = min(max_dx, w)
+    u = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    v = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    fu = jnp.clip(flow[..., 0], -(rh - 1), rh - 1)
+    fv = jnp.clip(flow[..., 1], -(rv - 1), rv - 1)
+    su = u + fu
+    sv = v + fv
+    inside = (su >= 0) & (su <= w - 1) & (sv >= 0) & (sv <= h - 1)
+
+    # Vertical pass: g(y, x) = (1-b) f(v0, x) + b f(v0+1, x) as a sum of
+    # row-shifted slices weighted by one-hot selects on dy = v0 - y.
+    v0 = jnp.floor(sv)
+    bw = (sv - v0)[..., None]
+    dyk = (v0 - v).astype(jnp.int32)[..., None]
+    fp = jnp.pad(features, ((0, 0), (rv, rv), (0, 0), (0, 0)))
+    g = jnp.zeros_like(features)
+    for dy in range(-rv, rv + 1):
+        wgt = jnp.where(dyk == dy, 1.0 - bw, 0.0) + jnp.where(
+            dyk == dy - 1, bw, 0.0
+        )
+        g = g + wgt * jax.lax.dynamic_slice_in_dim(fp, rv + dy, h, axis=1)
+
+    u0 = jnp.floor(su)
+    aw = (su - u0)[..., None]
+    dxk = (u0 - u).astype(jnp.int32)[..., None]
+    gp = jnp.pad(g, ((0, 0), (0, 0), (rh, rh), (0, 0)))
+    out = jnp.zeros_like(features)
+    for dx in range(-rh, rh + 1):
+        wgt = jnp.where(dxk == dx, 1.0 - aw, 0.0) + jnp.where(
+            dxk == dx - 1, aw, 0.0
+        )
+        out = out + wgt * jax.lax.dynamic_slice_in_dim(gp, rh + dx, w, axis=2)
+
     return jnp.where(inside[..., None], out, 0.0)
 
 

@@ -41,6 +41,14 @@ def build_parser():
                         " only); amortizes the tunnel round trip")
     p.add_argument("--n-objects", type=int, default=4,
                    help="moving objects per generated scene")
+    p.add_argument("--max-shift", type=float, default=24.0,
+                   help="max object translation (px) in generated scenes")
+    p.add_argument("--bg-max-shift", type=float, default=10.0,
+                   help="max background translation (px)")
+    p.add_argument("--warmup", type=int, default=500,
+                   help="linear LR warmup steps (cosine decay afterwards)")
+    p.add_argument("--constant-lr", action="store_true",
+                   help="disable the warmup+cosine schedule")
     p.add_argument("--save-every", type=int, default=0,
                    help="also checkpoint every N steps (0 = only at the end)")
     p.add_argument("--log-every", type=int, default=10)
@@ -75,7 +83,9 @@ def main(argv=None) -> int:
     model = PWCNet(config=cfg)
     state, tx = create_train_state(
         model, args.height, args.width, learning_rate=args.lr,
-        key=jax.random.PRNGKey(args.seed), total_steps=args.steps,
+        key=jax.random.PRNGKey(args.seed),
+        total_steps=None if args.constant_lr else args.steps,
+        warmup_steps=args.warmup,
     )
     if args.resume:
         from ..utils.checkpoint import restore_flow_params
@@ -101,7 +111,8 @@ def main(argv=None) -> int:
         chunk = max(1, min(args.chunk, args.steps))
         step_fn, state = make_chunked_train_step(
             model, tx, mesh, state, args.height, args.width, args.batch,
-            chunk, n_objects=args.n_objects,
+            chunk, n_objects=args.n_objects, max_shift=args.max_shift,
+            bg_max_shift=args.bg_max_shift,
         )
         key = jax.random.PRNGKey(args.seed + 1)
         with mesh:

@@ -91,3 +91,50 @@ def test_pwc_learns_constant_shift():
         params, opt_state, l = step(params, opt_state)
         losses.append(float(l))
     assert losses[-1] < losses[0] * 0.5
+
+
+def test_warp_two_pass_exact_for_row_constant_flow():
+    import jax
+    from moving_object_detector_tpu.ops.flow_ops import warp, warp_two_pass
+
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 14, 23, 6))
+    # Flow varying down the image but constant along rows: two-pass is exact.
+    rows = jnp.linspace(-3.0, 3.0, 14)[None, :, None]
+    flow = jnp.stack(
+        [jnp.broadcast_to(rows * 0.7, (2, 14, 23)),
+         jnp.broadcast_to(rows, (2, 14, 23))], axis=-1
+    )
+    ref = warp(feats, flow)
+    out = warp_two_pass(feats, flow, 8, 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_warp_two_pass_close_for_smooth_flow():
+    import jax
+    from moving_object_detector_tpu.ops.flow_ops import warp, warp_two_pass
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    feats = jax.random.normal(k1, (1, 16, 32, 4))
+    # Smooth low-frequency flow field (like upsampled inter-level flow).
+    coarse = 3.0 * jax.random.normal(k2, (1, 2, 4, 2))
+    import jax.image
+    flow = jax.image.resize(coarse, (1, 16, 32, 2), "bilinear")
+    ref = np.asarray(warp(feats, flow))
+    out = np.asarray(warp_two_pass(feats, flow, 8, 8))
+    # Approximation: most pixels close; error concentrated where both
+    # |u| and dv/dx are large (white-noise features are the worst case —
+    # real conv features are spatially correlated).
+    assert np.median(np.abs(out - ref)) < 0.1
+    assert np.mean(np.abs(out - ref) < 0.3) > 0.75
+
+
+def test_warp_two_pass_grad_flows():
+    import jax
+    from moving_object_detector_tpu.ops.flow_ops import warp_two_pass
+
+    feats = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 12, 3))
+    flow = jnp.full((1, 8, 12, 2), 0.3)
+    g = jax.grad(
+        lambda fl: jnp.sum(warp_two_pass(feats, fl, 4, 4) ** 2)
+    )(flow)
+    assert bool(jnp.any(jnp.abs(g) > 0))
