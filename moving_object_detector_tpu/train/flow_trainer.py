@@ -135,6 +135,7 @@ def make_chunked_train_step(
     n_objects: int = 4,
     max_shift: float = 24.0,
     bg_max_shift: float = 10.0,
+    pool: int = 0,
 ):
     """Jit ``chunk`` train steps into ONE dispatch, with the training data
     generated on device (train/data_synth.py layered affine scenes) inside
@@ -145,6 +146,12 @@ def make_chunked_train_step(
     nothing) and it also removes all host->device batch traffic: the host
     feeds one PRNG key per chunk. Batch shards over the mesh 'data' axis,
     params over 'model', as in make_sharded_train_step.
+
+    ``pool`` > 0 draws scenes from a fixed pool of that many PRNG streams
+    (cycled by step index) instead of fresh data every step — a
+    bootstrap-curriculum trick: early memorization pressure on a finite
+    scene set builds informative features far faster than infinite fresh
+    data, after which training widens to pool=0.
     """
     from .data_synth import generate_batch
 
@@ -158,6 +165,11 @@ def make_chunked_train_step(
     batch_sh = NamedSharding(mesh, P("data"))
 
     def body(st, k):
+        if pool > 0:
+            # Fixed scene pool: derive the key from the step index only.
+            k = jax.random.fold_in(
+                jax.random.PRNGKey(17), jnp.mod(st.step, pool)
+            )
         data = generate_batch(
             k, batch, height, width, n_objects, max_shift, bg_max_shift
         )

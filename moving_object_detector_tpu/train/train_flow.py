@@ -45,6 +45,9 @@ def build_parser():
                    help="max object translation (px) in generated scenes")
     p.add_argument("--bg-max-shift", type=float, default=10.0,
                    help="max background translation (px)")
+    p.add_argument("--pool", type=int, default=0,
+                   help="fixed scene pool size (0 = fresh data each step);"
+                        " bootstrap curriculum for from-scratch training")
     p.add_argument("--warmup", type=int, default=500,
                    help="linear LR warmup steps (cosine decay afterwards)")
     p.add_argument("--constant-lr", action="store_true",
@@ -112,7 +115,7 @@ def main(argv=None) -> int:
         step_fn, state = make_chunked_train_step(
             model, tx, mesh, state, args.height, args.width, args.batch,
             chunk, n_objects=args.n_objects, max_shift=args.max_shift,
-            bg_max_shift=args.bg_max_shift,
+            bg_max_shift=args.bg_max_shift, pool=args.pool,
         )
         key = jax.random.PRNGKey(args.seed + 1)
         with mesh:
