@@ -25,7 +25,16 @@ def _ocp():
 
 
 def save_flow_params(path: str, params: Any, opt_state: Any = None) -> None:
-    """Save flow-net params (and optionally optimizer state) to ``path``."""
+    """Save flow-net params (and optionally optimizer state) to ``path``.
+
+    A ``.npz`` path saves a compressed float16 flat archive (compact,
+    git-committable weight distribution — the role of the reference's
+    ``pwc_net.caffemodel``, dockerfile:108-111); anything else is a full
+    f32 orbax checkpoint directory.
+    """
+    if path.endswith(".npz"):
+        save_flow_params_npz(path, params)
+        return
     ocp = _ocp()
     ckpt = {"params": params}
     if opt_state is not None:
@@ -34,9 +43,31 @@ def save_flow_params(path: str, params: Any, opt_state: Any = None) -> None:
         ckptr.save(os.path.abspath(path), ckpt, force=True)
 
 
+def save_flow_params_npz(path: str, params: Any) -> None:
+    """Compressed float16 flat-key archive of a params pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for kpath, leaf in flat:
+        key = "/".join(str(getattr(k, "key", k)) for k in kpath)
+        out[key] = np.asarray(leaf).astype(np.float16)
+    np.savez_compressed(path, **out)
+
+
 def restore_flow_params(path: str, like: Any = None) -> Any:
-    """Restore a flow-net checkpoint; ``like`` provides the pytree structure
-    (required for exact dtype/shape restoration)."""
+    """Restore a flow-net checkpoint (orbax dir or .npz archive); ``like``
+    provides the pytree structure (required for orbax; for npz it
+    validates shapes and restores dtypes)."""
+    if path.endswith(".npz"):
+        assert like is not None, "npz restore needs a `like` pytree"
+        data = np.load(path)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(like)
+        leaves = []
+        for kpath, leaf in flat:
+            key = "/".join(str(getattr(k, "key", k)) for k in kpath)
+            arr = data[key]
+            assert arr.shape == np.shape(leaf), (key, arr.shape)
+            leaves.append(arr.astype(np.asarray(leaf).dtype))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
     ocp = _ocp()
     with ocp.StandardCheckpointer() as ckptr:
         if like is not None:

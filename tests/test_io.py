@@ -257,3 +257,28 @@ def test_runner_streaming():
     assert len(results) == 4
     assert results[0].index == 0
     assert all(r.frame_valid for r in results[1:])
+
+
+def test_npz_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from moving_object_detector_tpu.utils.checkpoint import (
+        restore_flow_params,
+        save_flow_params,
+    )
+
+    params = {
+        "params": {
+            "conv": {"kernel": jnp.ones((3, 3, 2, 4), jnp.float32) * 0.25,
+                     "bias": jnp.zeros((4,), jnp.float32)},
+        }
+    }
+    path = str(tmp_path / "w.npz")
+    save_flow_params(path, params)
+    like = jax.tree_util.tree_map(lambda x: np.zeros_like(x), params)
+    back = restore_flow_params(path, like=like)
+    np.testing.assert_allclose(
+        np.asarray(back["params"]["conv"]["kernel"]), 0.25
+    )
+    assert back["params"]["conv"]["kernel"].dtype == np.float32
