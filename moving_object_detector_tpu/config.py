@@ -151,6 +151,9 @@ class PipelineConfig:
 
     height: int = 376
     width: int = 1242
+    # Run the flow net at 1/N resolution (upscaled back): serving speed
+    # knob for e.g. the ZED-live operating point.
+    flow_input_scale: int = 1
     scene_flow: SceneFlowConfig = dataclasses.field(default_factory=SceneFlowConfig)
     clusterer: ClustererConfig = dataclasses.field(default_factory=ClustererConfig)
     tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)

