@@ -15,9 +15,15 @@ round-trip, and block_until_ready can report completion before device work
 finishes (measured: it does not block at all there), so completion is
 forced with the host fetch.
 
+Default: random static frames (quiet scene). ``--busy`` cycles a ring of
+synthetic moving-object frames (io/readers.py SyntheticStereoSequence) so
+detection/tracking costs show; pair with ``--flow-checkpoint`` for trained
+flow weights that actually trigger the dynamic gate.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -25,7 +31,14 @@ import time
 import numpy as np
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--busy", action="store_true",
+                    help="cycle synthetic moving-object frames")
+    ap.add_argument("--flow-checkpoint", default=None,
+                    help="orbax checkpoint with trained PWC-Net params")
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
@@ -44,16 +57,54 @@ def main():
     )
     model = PWCNet(config=config.flownet)
     params = init_pwc_params(model, h, w)
+    if args.flow_checkpoint:
+        from moving_object_detector_tpu.utils.checkpoint import (
+            restore_flow_params,
+        )
+
+        params = restore_flow_params(args.flow_checkpoint, like=params)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
     state0 = PipelineState.create(config)
 
-    rng = np.random.default_rng(0)
-    left = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
-    right = jnp.asarray(rng.uniform(0, 1, (h, w)).astype(np.float32))
+    if args.busy:
+        from moving_object_detector_tpu.io.readers import (
+            SyntheticStereoSequence,
+        )
+
+        seq = SyntheticStereoSequence(height=h, width=w, n_frames=4)
+        lefts, rights = [], []
+        for k in range(4):
+            fl, fr, _, _ = seq.frame(k)
+            lefts.append(fl)
+            rights.append(fr)
+        left_ring = jnp.asarray(np.stack(lefts).astype(np.float32))
+        right_ring = jnp.asarray(np.stack(rights).astype(np.float32))
+    else:
+        rng = np.random.default_rng(0)
+        left_ring = jnp.asarray(
+            rng.uniform(0, 1, (1, h, w)).astype(np.float32)
+        )
+        right_ring = jnp.asarray(
+            rng.uniform(0, 1, (1, h, w)).astype(np.float32)
+        )
+    n_ring = left_ring.shape[0]
 
     @jax.jit
-    def run_frames(state, left, n):
+    def run_frames(state, left_ring, right_ring, n):
+        def probe(x):
+            # nan-proof scalar witness: forces the producing subgraph.
+            v = jnp.asarray(x, jnp.float32).ravel()[:8]
+            return jnp.sum(jnp.where(jnp.isfinite(v), v, 0.123))
+
         def body(i, carry):
-            state, left = carry
+            state, acc = carry
+            k = jax.lax.rem(i, n_ring)
+            left = jax.lax.dynamic_index_in_dim(
+                left_ring, k, keepdims=False
+            )
+            right = jax.lax.dynamic_index_in_dim(
+                right_ring, k, keepdims=False
+            )
             state, out = detect_step(
                 params,
                 state,
@@ -64,16 +115,34 @@ def main():
                 config,
                 flow_model=model,
             )
-            # Data-dependent no-op keeps iterations serialized and
-            # un-elidable.
-            bump = (out.disparity.disparity[0, 0] * 0.0).astype(left.dtype)
-            return state, left + bump
-        state, left = jax.lax.fori_loop(0, n, body, (state, left))
-        return left[0, 0]
+            # EVERY per-frame output feeds the carried accumulator so no
+            # stage is dead code. (An earlier bench bumped the input by
+            # output*0.0 and discarded the final state — XLA folded the
+            # multiply and eliminated everything but SGM, inflating the
+            # number ~3x.)
+            acc = (
+                acc
+                + probe(out.disparity.disparity)
+                + probe(out.flow)
+                + probe(out.scene_flow.velocity)
+                + probe(out.static_flow)
+                + probe(out.detections.center)
+                + probe(out.label_image)
+                + probe(out.tracked.objects.center)
+                + probe(out.tracked.covariance)
+                + probe(out.motion)
+                + probe(out.odom_pose)
+            )
+            return state, acc
+        state, acc = jax.lax.fori_loop(
+            0, n, body, (state, jnp.float32(0.0))
+        )
+        # The final state is consumed too: the state chain stays live.
+        return acc + probe(state.pose) + probe(state.tracker.mean)
 
     def run(n):
         t0 = time.time()
-        float(run_frames(state0, left, n))
+        float(run_frames(state0, left_ring, right_ring, n))
         return time.time() - t0
 
     n1, n2 = 20, 120
@@ -85,10 +154,13 @@ def main():
     pairs_per_sec = 1.0 / per_frame
 
     baseline = 200.0  # north-star target, BASELINE.json
+    metric = "kitti_stereo_pairs_per_sec_per_chip_end_to_end"
+    if args.busy:
+        metric += "_busy"
     print(
         json.dumps(
             {
-                "metric": "kitti_stereo_pairs_per_sec_per_chip_end_to_end",
+                "metric": metric,
                 "value": round(pairs_per_sec, 2),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / baseline, 4),
