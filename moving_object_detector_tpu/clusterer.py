@@ -66,13 +66,30 @@ def cluster_scene_flow(
     dynamic = vnorm >= dynamic_speed
 
     depth = cloud.points[..., 2]
-    labels = connected_components(
-        dynamic,
-        depth,
-        depth_diff,
-        neighbor_distance=config.neighbor_distance,
-        max_iters=config.max_cc_iters,
-    )
+    backend = config.cc_backend
+    if backend == "auto":
+        backend = (
+            "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        )
+    if backend in ("pallas", "pallas_interpret"):
+        from .ops.clustering_pallas import connected_components_pallas
+
+        labels = connected_components_pallas(
+            dynamic,
+            depth,
+            depth_diff,
+            neighbor_distance=config.neighbor_distance,
+            max_iters=config.max_cc_iters,
+            interpret=backend == "pallas_interpret",
+        )
+    else:
+        labels = connected_components(
+            dynamic,
+            depth,
+            depth_diff,
+            neighbor_distance=config.neighbor_distance,
+            max_iters=config.max_cc_iters,
+        )
     flat_labels = labels.reshape(-1)
 
     # Component sizes + root selection, scatter/gather-free (both lower to

@@ -46,6 +46,11 @@ class ClustererConfig:
     max_objects: int = 16
     # Upper bound on label-propagation sweeps for connected components.
     max_cc_iters: int = 64
+    # Connected-components backend: "pallas" = whole-image-in-VMEM kernel
+    # (ops/clustering_pallas.py), "xla" = scan/sweep form, "auto" =
+    # pallas on accelerators. Default flips to "auto" once the kernel is
+    # hardware-validated.
+    cc_backend: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)
