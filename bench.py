@@ -37,6 +37,9 @@ def main(argv=None):
                     help="cycle synthetic moving-object frames")
     ap.add_argument("--flow-checkpoint", default=None,
                     help="orbax checkpoint with trained PWC-Net params")
+    ap.add_argument("--streams", type=int, default=1,
+                    help="batch N camera streams (vmapped pipeline) and"
+                         " report aggregate pairs/s")
     args = ap.parse_args(argv)
 
     import jax
@@ -89,11 +92,21 @@ def main(argv=None):
         )
     n_ring = left_ring.shape[0]
 
+    n_streams = args.streams
+    if n_streams > 1:
+        from moving_object_detector_tpu.parallel.streams import (
+            create_stream_states,
+            detect_step_batched,
+        )
+
+        state0 = create_stream_states(config, n_streams)
+
     @jax.jit
     def run_frames(state, left_ring, right_ring, n):
         def probe(x):
             # nan-proof scalar witness: forces the producing subgraph.
-            v = jnp.asarray(x, jnp.float32).ravel()[:8]
+            # Slice BEFORE casting so the witness itself is free.
+            v = jnp.asarray(x).ravel()[:8].astype(jnp.float32)
             return jnp.sum(jnp.where(jnp.isfinite(v), v, 0.123))
 
         def body(i, carry):
@@ -105,16 +118,34 @@ def main(argv=None):
             right = jax.lax.dynamic_index_in_dim(
                 right_ring, k, keepdims=False
             )
-            state, out = detect_step(
-                params,
-                state,
-                left,
-                right,
-                state.prev_time + 0.1,
-                stereo,
-                config,
-                flow_model=model,
-            )
+            if n_streams > 1:
+                lefts = jnp.broadcast_to(
+                    left, (n_streams,) + left.shape
+                )
+                rights = jnp.broadcast_to(
+                    right, (n_streams,) + right.shape
+                )
+                state, out = detect_step_batched(
+                    params,
+                    state,
+                    lefts,
+                    rights,
+                    state.prev_time + 0.1,
+                    stereo,
+                    config,
+                    flow_model=model,
+                )
+            else:
+                state, out = detect_step(
+                    params,
+                    state,
+                    left,
+                    right,
+                    state.prev_time + 0.1,
+                    stereo,
+                    config,
+                    flow_model=model,
+                )
             # EVERY per-frame output feeds the carried accumulator so no
             # stage is dead code. (An earlier bench bumped the input by
             # output*0.0 and discarded the final state — XLA folded the
@@ -151,12 +182,14 @@ def main(argv=None):
     print(f"# compile+first {n1} frames: {time.time() - t0:.1f}s",
           file=sys.stderr)
     per_frame = (run(n2) - run(n1)) / (n2 - n1)
-    pairs_per_sec = 1.0 / per_frame
+    pairs_per_sec = n_streams / per_frame
 
     baseline = 200.0  # north-star target, BASELINE.json
     metric = "kitti_stereo_pairs_per_sec_per_chip_end_to_end"
     if args.busy:
         metric += "_busy"
+    if n_streams > 1:
+        metric += f"_x{n_streams}streams"
     print(
         json.dumps(
             {

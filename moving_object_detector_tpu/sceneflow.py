@@ -48,22 +48,6 @@ def static_optical_flow(
     return jnp.where(invalid[..., None], jnp.nan, flow)
 
 
-def _right_point_valid(disp: DisparityImage, u_idx, v_idx):
-    """getRightPoint validity (scene_flow_constructor.h:215-227) at integer
-    pixels (u, v): bounds-checked disparity lookup (getDisparity,
-    disparity_image_processor.cpp:17-31) that is finite, within
-    [min_disparity, max_disparity] and non-negative."""
-    d, in_bounds = geometry.gather_pixels(disp.disparity, u_idx, v_idx)
-    ok = (
-        in_bounds
-        & jnp.isfinite(d)
-        & (d >= disp.min_disparity)
-        & (d <= disp.max_disparity)
-        & (d >= 0.0)
-    )
-    return ok
-
-
 def construct_scene_flow(
     points_now: jnp.ndarray,
     points_prev_transformed: jnp.ndarray,
@@ -115,9 +99,16 @@ def construct_scene_flow(
     # from disparity_now at the current pixel, right-previous point from
     # disparity_previous at the matched previous pixel. The right pixels
     # themselves are unused downstream; only their validity gates matter.
-    ui = u.astype(jnp.int32)
-    vi = v.astype(jnp.int32)
-    right_now_ok = _right_point_valid(disparity_now, ui, vi)
+    # Right-now validity is a lookup at the pixel's own coordinates — no
+    # gather needed (a gather at identity indices still lowers to a ~3 ms
+    # serialized gather on TPU).
+    d_now = disparity_now.disparity
+    right_now_ok = (
+        jnp.isfinite(d_now)
+        & (d_now >= disparity_now.min_disparity)
+        & (d_now <= disparity_now.max_disparity)
+        & (d_now >= 0.0)
+    )
 
     # ONE gather of the previous disparity at the matched pixel covers both
     # the right-previous validity gate and the previous 3D point: the point
