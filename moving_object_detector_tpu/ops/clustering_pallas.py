@@ -48,70 +48,122 @@ def _roll2d(x, dv, du):
 
 
 def _cc_kernel(
-    dyn_ref, z_ref, dd_ref, label_ref,
-    *, h, w, hp, wp, offsets, max_iters,
+    dyn_ref, z_ref, dd_ref, off_ref, label_ref,
+    *, h, w, hp, wp, n_offsets, max_iters,
 ):
     # Mosaic only rotates 32-bit vectors: anything rolled (dyn, adjacency,
-    # reach flags) lives as int32 0/1.
-    dyn_i = dyn_ref[...].astype(jnp.int32)
-    z = z_ref[...]
+    # reach flags) lives as int32 0/1. All in-kernel loops are
+    # lax.fori_loop with DYNAMIC rotate amounts — unrolled Python loops
+    # made Mosaic allocate a fresh VMEM stack slot per step (207 MB for
+    # the 48-offset sweep + 4x11 doubling scans; the scoped limit is 16).
     dd = dd_ref[0]
 
-    vi = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
-    ui = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
-    inb = (vi < h) & (ui < w)
-    dyn_i = jnp.where(inb, dyn_i, 0)
-    dyn = dyn_i != 0
+    vi0 = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
+    ui0 = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
+
+    def iotas():
+        return vi0, ui0
+    dyn_i = jnp.where(
+        (vi0 < h) & (ui0 < w), dyn_ref[...].astype(jnp.int32), 0
+    )
     # +inf z outside so every depth gate against it fails.
-    z = jnp.where(dyn, z, jnp.float32(jnp.inf))
+    z = jnp.where(dyn_i != 0, z_ref[...], jnp.float32(jnp.inf))
 
-    flat = vi * w + ui
     sentinel = jnp.int32(h * w)
-    init = jnp.where(dyn, flat, sentinel)
+    init = jnp.where(dyn_i != 0, vi0 * w + ui0, sentinel)
 
-    def edge_i(dv, du):
-        """1 where the pixel has a window edge to pixel + (dv, du)."""
-        nz = _roll2d(z, dv, du)
-        nd = _roll2d(dyn_i, dv, du)
+    def roll2d(x, dv, du):
+        """out[v, u] = x[v + dv, u + du]; wrapped regions must be masked
+        by the caller. dv/du may be traced scalars."""
+        x = pltpu.roll(x, (-dv) % hp, 0)
+        return pltpu.roll(x, (-du) % wp, 1)
+
+    def edge_i(dyn_plane, dv, du):
+        """1 where the pixel has a window edge to pixel + (dv, du).
+        dyn_plane: int32 with the dynamic flag at bit 4."""
+        nz = roll2d(z, dv, du)
+        nd = roll2d(dyn_plane, dv, du) & 16
+        vi, ui = iotas()
         okv = (vi + dv >= 0) & (vi + dv < h)
         oku = (ui + du >= 0) & (ui + du < w)
-        ok = dyn & (nd != 0) & okv & oku & (jnp.abs(z - nz) <= dd)
+        ok = (
+            (dyn_plane & 16 != 0) & (nd != 0) & okv & oku
+            & (jnp.abs(z - nz) <= dd)
+        )
         return ok.astype(jnp.int32)
 
-    adj_l = edge_i(0, -1)   # edge to the left neighbor
-    adj_u = edge_i(-1, 0)   # edge to the upper neighbor
-    adj_r = _roll2d(adj_l, 0, 1)   # edge to the right  = left-edge of x+1
-    adj_d = _roll2d(adj_u, 1, 0)   # edge to the bottom = up-edge   of y+1
+    # One resident bit-packed int32 plane (separate planes put the kernel
+    # 4+ MB over the 16 MB scoped-vmem limit): bit0 = edge-left,
+    # bit1 = edge-right, bit2 = edge-up, bit3 = edge-down, bit4 = dynamic.
+    dyn16 = dyn_i << 4
+    adj_l = edge_i(dyn16, 0, -1)
+    adj_u = edge_i(dyn16, -1, 0)
+    adj = (
+        adj_l
+        | (roll2d(adj_l, 0, 1) << 1)   # right = left-edge of x+1
+        | (adj_u << 2)
+        | (roll2d(adj_u, 1, 0) << 3)   # down  = up-edge   of y+1
+        | dyn16
+    )
+    dyn = (adj & 16) != 0
 
-    def seg_scan(label, link_i, dv, du, span):
-        """Distance-doubling segmented min along one direction.
+    n_dbl_w = max(1, (wp - 1).bit_length())
+    n_dbl_h = max(1, (hp - 1).bit_length())
 
-        link_i[p] = 1 = p takes min from p + (dv, du) (its scan-order
-        predecessor's direction). After ceil(log2(span)) doublings every
-        pixel holds the min over its maximal linked run.
-        """
-        reach = link_i
-        k = 1
-        while k < span:
-            neigh = _roll2d(label, dv * k, du * k)
+    def seg_scan(label, bit, dv, du, n_dbl):
+        """Distance-doubling segmented min along one direction: adj bit
+        ``bit`` set at p means p takes min from p + (dv, du). After
+        ceil(log2(span)) doublings every pixel holds the min over its
+        maximal linked run."""
+
+        def step(j, carry):
+            label, reach = carry
+            k = jnp.int32(1) << j
+            neigh = roll2d(label, dv * k, du * k)
             label = jnp.where(reach != 0, jnp.minimum(label, neigh), label)
-            reach = reach * _roll2d(reach, dv * k, du * k)
-            k *= 2
+            reach = reach * roll2d(reach, dv * k, du * k)
+            return label, reach
+
+        link_i = (adj >> bit) & 1
+        label, _ = jax.lax.fori_loop(0, n_dbl, step, (label, link_i))
         return label
 
+    # The window edge set is iteration-INVARIANT: precompute all offsets'
+    # masks once, bit-packed into two resident planes (offset idx -> bit
+    # idx%32 of plane idx//32), so each sweep step is one label roll plus
+    # a bit test instead of re-rolling z/adj and re-evaluating the gate.
+    def pack_edges(_, planes):
+        def one(idx, pl2):
+            e1, e2 = pl2
+            eb = edge_i(adj, off_ref[idx, 0], off_ref[idx, 1])
+            lo = idx < 32
+            e1 = e1 | jnp.where(lo, eb << idx, 0)
+            e2 = e2 | jnp.where(lo, 0, eb << (idx - 32))
+            return e1, e2
+        return jax.lax.fori_loop(0, n_offsets, one, planes)
+
+    zero = jnp.zeros_like(adj)
+    epack1, epack2 = pack_edges(None, (zero, zero))
+
     def sweep(label):
-        best = label
-        for dv, du in offsets:
-            ok = edge_i(dv, du) != 0
-            neigh = _roll2d(label, dv, du)
-            best = jnp.minimum(best, jnp.where(ok, neigh, jnp.int32(_BIG)))
+        def step(idx, best):
+            dv = off_ref[idx, 0]
+            du = off_ref[idx, 1]
+            lo = idx < 32
+            bits = jnp.where(lo, epack1 >> idx, epack2 >> (idx - 32))
+            neigh = roll2d(label, dv, du)
+            return jnp.minimum(
+                best, jnp.where(bits & 1 != 0, neigh, jnp.int32(_BIG))
+            )
+
+        best = jax.lax.fori_loop(0, n_offsets, step, label)
         return jnp.where(dyn, best, sentinel)
 
     def propagate(label):
-        label = seg_scan(label, adj_l, 0, -1, wp)
-        label = seg_scan(label, adj_r, 0, 1, wp)
-        label = seg_scan(label, adj_u, -1, 0, hp)
-        label = seg_scan(label, adj_d, 1, 0, hp)
+        label = seg_scan(label, 0, 0, -1, n_dbl_w)
+        label = seg_scan(label, 1, 0, 1, n_dbl_w)
+        label = seg_scan(label, 2, -1, 0, n_dbl_h)
+        label = seg_scan(label, 3, 1, 0, n_dbl_h)
         return jnp.where(dyn, label, sentinel)
 
     def cond(state):
@@ -153,20 +205,26 @@ def connected_components_pallas(
         constant_values=jnp.inf,
     )
     dd = jnp.asarray(depth_diff, jnp.float32).reshape(1)
+    offsets = jnp.asarray(_edge_offsets(neighbor_distance), jnp.int32)
 
-    offsets = _edge_offsets(neighbor_distance)
     out = pl.pallas_call(
         partial(
             _cc_kernel, h=h, w=w, hp=hp, wp=wp,
-            offsets=offsets, max_iters=max_iters,
+            n_offsets=offsets.shape[0], max_iters=max_iters,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        # Whole-image residency intentionally exceeds the default 16 MB
+        # scoped-vmem budget; v5e has 128 MB of physical VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(dyn, z, dd)
+    )(dyn, z, dd, offsets)
     return out[:h, :w]
