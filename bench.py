@@ -35,8 +35,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--busy", action="store_true",
                     help="cycle synthetic moving-object frames")
-    ap.add_argument("--flow-checkpoint", default=None,
-                    help="orbax checkpoint with trained PWC-Net params")
+    ap.add_argument("--flow-checkpoint", default="auto",
+                    help="orbax dir or .npz with trained PWC-Net params; "
+                         "'auto' uses the bundled weights/pwc_v2.fp16.npz "
+                         "if present, 'none' forces random init")
     ap.add_argument("--streams", type=int, default=1,
                     help="batch N camera streams (vmapped pipeline) and"
                          " report aggregate pairs/s")
@@ -60,12 +62,14 @@ def main(argv=None):
     )
     model = PWCNet(config=config.flownet)
     params = init_pwc_params(model, h, w)
-    if args.flow_checkpoint:
-        from moving_object_detector_tpu.utils.checkpoint import (
-            restore_flow_params,
-        )
+    from moving_object_detector_tpu.utils.checkpoint import (
+        resolve_flow_checkpoint,
+        restore_flow_params,
+    )
 
-        params = restore_flow_params(args.flow_checkpoint, like=params)
+    ckpt = resolve_flow_checkpoint(args.flow_checkpoint)
+    if ckpt:
+        params = restore_flow_params(ckpt, like=params)
         params = jax.tree_util.tree_map(jnp.asarray, params)
     state0 = PipelineState.create(config)
 

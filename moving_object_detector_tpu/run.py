@@ -47,8 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="'tiny' shrinks the flow net and feature counts for quick "
              "CPU smoke runs",
     )
-    p.add_argument("--flow-checkpoint", default=None,
-                   help="orbax checkpoint with trained PWC-Net params")
+    p.add_argument("--flow-checkpoint", default="auto",
+                   help="orbax dir or .npz with trained PWC-Net params; "
+                        "'auto' uses the bundled weights/pwc_v2.fp16.npz "
+                        "if present, 'none' forces random init")
     p.add_argument("--report", action="store_true",
                    help="print per-stage timing report")
     return p
@@ -123,11 +125,16 @@ def main(argv=None) -> int:
         seq = cropped()
 
     model = PWCNet(config=config.flownet)
-    if args.flow_checkpoint:
-        from .utils.checkpoint import restore_flow_params
+    from .utils.checkpoint import resolve_flow_checkpoint, restore_flow_params
 
+    # The tiny preset's architecture never matches the bundled weights.
+    ckpt = (
+        None if args.preset == "tiny" and args.flow_checkpoint == "auto"
+        else resolve_flow_checkpoint(args.flow_checkpoint)
+    )
+    if ckpt:
         like = init_pwc_params(model, args.height, args.width)
-        params = restore_flow_params(args.flow_checkpoint, like=like)
+        params = restore_flow_params(ckpt, like=like)
     else:
         params = init_pwc_params(model, args.height, args.width)
 

@@ -53,6 +53,26 @@ def save_flow_params_npz(path: str, params: Any) -> None:
     np.savez_compressed(path, **out)
 
 
+def default_flow_checkpoint() -> str | None:
+    """Path of the bundled trained flow weights (weights/pwc_v2.fp16.npz at
+    the repo root — the role of the reference's ``pwc_net.caffemodel``
+    symlink, dockerfile:108-111), or None if not present."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(root, "weights", "pwc_v2.fp16.npz")
+    return path if os.path.exists(path) else None
+
+
+def resolve_flow_checkpoint(arg: str | None) -> str | None:
+    """CLI convention: 'auto' (or None) -> bundled weights if present;
+    'none' -> random init; anything else -> explicit path."""
+    if arg in (None, "auto"):
+        return default_flow_checkpoint()
+    if arg == "none":
+        return None
+    return arg
+
+
 def restore_flow_params(path: str, like: Any = None) -> Any:
     """Restore a flow-net checkpoint (orbax dir or .npz archive); ``like``
     provides the pytree structure (required for orbax; for npz it
