@@ -61,7 +61,9 @@ def main(argv=None):
         fx=721.5, fy=721.5, cx=w / 2.0, cy=h / 2.0, baseline=0.54
     )
     model = PWCNet(config=config.flownet)
-    params = init_pwc_params(model, h, w)
+    from moving_object_detector_tpu.models.pwc_net import (
+        init_pwc_params_abstract,
+    )
     from moving_object_detector_tpu.utils.checkpoint import (
         resolve_flow_checkpoint,
         restore_flow_params,
@@ -69,8 +71,12 @@ def main(argv=None):
 
     ckpt = resolve_flow_checkpoint(args.flow_checkpoint)
     if ckpt:
-        params = restore_flow_params(ckpt, like=params)
+        params = restore_flow_params(
+            ckpt, like=init_pwc_params_abstract(model)
+        )
         params = jax.tree_util.tree_map(jnp.asarray, params)
+    else:
+        params = init_pwc_params(model, h, w)
     state0 = PipelineState.create(config)
 
     if args.busy:

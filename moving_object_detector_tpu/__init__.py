@@ -18,6 +18,22 @@ import jax as _jax
 # bfloat16 explicitly via their dtype.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: OPT-IN via MODT_COMPILE_CACHE=1. Measured
+# on the tunneled remote-compile TPU backend it is a net LOSS: reloading
+# the cached full-pipeline executable took 555 s where a fresh compile
+# took 249 s (the serialized executable is ~150 MB and replays through
+# the tunnel). On a directly-attached TPU it should win — hence the knob.
+import os as _os
+
+if _os.environ.get("MODT_COMPILE_CACHE"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/tmp/modt_jax_cache"
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from .config import (
     DEFAULT_CONFIG,
     ClustererConfig,

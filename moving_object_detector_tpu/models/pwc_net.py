@@ -207,7 +207,25 @@ def create_pwc_net(cfg: FlowNetConfig | None = None) -> PWCNet:
 
 
 def init_pwc_params(model: PWCNet, height: int, width: int, key=None):
-    """Initialize parameters for a given input resolution."""
+    """Initialize parameters (identical for every input resolution).
+
+    All layers are convolutions, so the param pytree does not depend on
+    H/W. Tracing at full resolution compiled the whole forward on the
+    target backend just to materialize shapes (~minutes at KITTI res over
+    the tunneled TPU); instead trace at the smallest resolution the
+    pyramid accepts.
+    """
     key = key if key is not None else jax.random.PRNGKey(0)
-    dummy = jnp.zeros((1, height, width, 1), jnp.float32)
-    return model.init(key, dummy, dummy)
+    n = 2 ** model.config.pyramid_levels
+    dummy = jnp.zeros((1, n, 2 * n, 1), jnp.float32)
+    # jit: one compiled program instead of ~50 eager dispatches (200+ s on
+    # a 1-core host), and it lands in the persistent compilation cache.
+    return jax.jit(model.init)(key, dummy, dummy)
+
+
+def init_pwc_params_abstract(model: PWCNet):
+    """Param pytree as ShapeDtypeStructs — no compile, no compute. Use as
+    the ``like`` when restoring a checkpoint (utils/checkpoint)."""
+    n = 2 ** model.config.pyramid_levels
+    dummy = jnp.zeros((1, n, 2 * n, 1), jnp.float32)
+    return jax.eval_shape(model.init, jax.random.PRNGKey(0), dummy, dummy)

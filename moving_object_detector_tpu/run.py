@@ -133,8 +133,11 @@ def main(argv=None) -> int:
         else resolve_flow_checkpoint(args.flow_checkpoint)
     )
     if ckpt:
-        like = init_pwc_params(model, args.height, args.width)
-        params = restore_flow_params(ckpt, like=like)
+        from .models.pwc_net import init_pwc_params_abstract
+
+        params = restore_flow_params(
+            ckpt, like=init_pwc_params_abstract(model)
+        )
     else:
         params = init_pwc_params(model, args.height, args.width)
 

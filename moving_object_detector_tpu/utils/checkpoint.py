@@ -86,7 +86,10 @@ def restore_flow_params(path: str, like: Any = None) -> Any:
             key = "/".join(str(getattr(k, "key", k)) for k in kpath)
             arr = data[key]
             assert arr.shape == np.shape(leaf), (key, arr.shape)
-            leaves.append(arr.astype(np.asarray(leaf).dtype))
+            # leaf.dtype, not np.asarray(leaf).dtype: `like` leaves may be
+            # device arrays, and materializing each one costs a device->
+            # host fetch (~4 s/leaf over the tunneled backend).
+            leaves.append(arr.astype(np.dtype(leaf.dtype)))
         return jax.tree_util.tree_unflatten(treedef, leaves)
     ocp = _ocp()
     with ocp.StandardCheckpointer() as ckptr:
