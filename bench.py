@@ -114,10 +114,14 @@ def main(argv=None):
     @jax.jit
     def run_frames(state, left_ring, right_ring, n):
         def probe(x):
-            # nan-proof scalar witness: forces the producing subgraph.
-            # Slice BEFORE casting so the witness itself is free.
-            v = jnp.asarray(x).ravel()[:8].astype(jnp.float32)
-            return jnp.sum(jnp.where(jnp.isfinite(v), v, 0.123))
+            # nan-proof scalar witness: a FULL reduction so every element of
+            # the producing subgraph is demanded (a [:8] slice lets XLA
+            # narrow elementwise chains to 8 elements and skip the work; a
+            # ravel of the full array costs a ~0.5 ms layout copy — measured
+            # in the op trace, scripts/profile_trace.py). A sum fuses into
+            # the producer and reads each array once (~us).
+            v = jnp.asarray(x).astype(jnp.float32)
+            return jnp.sum(jnp.where(jnp.isfinite(v), v, 0.123)) * 1e-6
 
         def body(i, carry):
             state, acc = carry

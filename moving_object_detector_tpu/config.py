@@ -141,9 +141,13 @@ class FlowNetConfig:
     dtype: str = "bfloat16"
     # Correlation-layer backend: "pallas" = fused VMEM kernel
     # (ops/flow_corr_pallas.py), "xla" = shift-and-reduce, "auto" = pallas
-    # on accelerators. Default flips to "auto" once the kernel is
-    # hardware-validated against the XLA oracle on the real chip.
-    corr_backend: str = "xla"
+    # on accelerators. Default is "auto": the kernel is hardware-validated
+    # against the XLA oracle (max rel err ~4e-7 across pyramid shapes) and
+    # saves 5.2 ms/frame INSIDE the fused pipeline at KITTI res (24.0 ->
+    # 18.9 ms) — the XLA form lowers to 81 multiply-reduce tuples + an
+    # 81-slice concatenate in-context (scripts/profile_trace.py) even
+    # though it looks free standalone (scripts/profile_corr_incontext.py).
+    corr_backend: str = "auto"
     # Warp-layer backend: "gather" = exact bilinear (default); "two_pass" =
     # gather-free approximate fast path (ops/flow_ops.py warp_two_pass) —
     # train and serve with the same setting.

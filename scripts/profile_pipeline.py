@@ -165,3 +165,66 @@ def tracker_step(carry):
 
 t("tracker (predict+correct+publish)", tracker_step,
   (tstate0, jnp.float32(0.0)))
+
+# --- FULL detect_step (bench-equivalent): where does the sum-of-stages
+# gap go? Ablations flip one stage to a cheap stand-in at a time. ---
+from moving_object_detector_tpu.pipeline import PipelineState, detect_step
+
+state0 = PipelineState.create(config)
+
+
+def full_step(carry):
+    state, acc = carry
+    s2, out = detect_step(
+        params, state, left + acc * 1e-20, right, state.prev_time + 0.1,
+        stereo, config, flow_model=model,
+    )
+    return s2, witness(
+        out.disparity.disparity, out.flow, out.scene_flow.velocity,
+        out.static_flow, out.detections.center, out.label_image,
+        out.tracked.objects.center, out.tracked.covariance, out.motion,
+        out.odom_pose,
+    )
+
+
+t("FULL detect_step (quiet frames)", full_step, (state0, jnp.float32(0.0)))
+
+
+def full_step_oracle_flow(carry):
+    state, acc = carry
+    s2, out = detect_step(
+        params, state, left + acc * 1e-20, right, state.prev_time + 0.1,
+        stereo, config, flow_model=model, flow_override=flow_const,
+    )
+    return s2, witness(
+        out.disparity.disparity, out.flow, out.scene_flow.velocity,
+        out.static_flow, out.detections.center, out.label_image,
+        out.tracked.objects.center, out.tracked.covariance, out.motion,
+        out.odom_pose,
+    )
+
+
+t("FULL detect_step (flow_override=0)", full_step_oracle_flow,
+  (state0, jnp.float32(0.0)))
+
+flow_rand = jnp.asarray(
+    rng.uniform(-8, 8, (H, W, 2)).astype(np.float32)
+)
+
+
+def full_step_rand_flow(carry):
+    state, acc = carry
+    s2, out = detect_step(
+        params, state, left + acc * 1e-20, right, state.prev_time + 0.1,
+        stereo, config, flow_model=model, flow_override=flow_rand,
+    )
+    return s2, witness(
+        out.disparity.disparity, out.flow, out.scene_flow.velocity,
+        out.static_flow, out.detections.center, out.label_image,
+        out.tracked.objects.center, out.tracked.covariance, out.motion,
+        out.odom_pose,
+    )
+
+
+t("FULL detect_step (flow_override=rand8)", full_step_rand_flow,
+  (state0, jnp.float32(0.0)))
