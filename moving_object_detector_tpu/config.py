@@ -29,6 +29,16 @@ class SceneFlowConfig:
 
     dynamic_flow_diff: float = 5.0
     max_color_velocity: float = 1.0  # visualization-only (cfg:9)
+    # Backend for the flow-matched previous-disparity lookup (the hot
+    # 467k-index gather): "pallas" = windowed tile kernel
+    # (ops/gather_pallas.py, 24x the XLA gather on v5e, exact within the
+    # window), "xla" = plain gather (unbounded match distance), "auto" =
+    # pallas on accelerators. With the pallas backend, matches farther than
+    # the radii below are treated as invalid (no velocity at that pixel) —
+    # the same degradation the reference applies to out-of-image matches.
+    gather_backend: str = "auto"
+    match_v_radius: int = 16  # max |vertical flow| px matched by the kernel
+    match_h_radius: int = 128  # max |horizontal flow| px matched
 
 
 @dataclasses.dataclass(frozen=True)

@@ -227,6 +227,44 @@ def _reprojection_residuals(tf, pts3d, obs_uv, cam: CameraModel):
     return res, p, ok
 
 
+def _chol_solve6(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve a x = b for a damped-SPD 6x6 system with an unrolled Cholesky.
+
+    ``jnp.linalg.solve`` lowers to an LU custom-call on TPU
+    (LuDecompositionBlock) that cannot fuse and costs ~0.1 ms per call
+    site inside the RANSAC/GN loops (~1 ms/frame total in the op trace);
+    the unrolled form is pure elementwise math that XLA fuses into the
+    surrounding Gauss-Newton fusion. Batched over leading dims.
+    """
+    n = 6
+    l = [[None] * n for _ in range(n)]
+    for i in range(n):
+        s = a[..., i, i]
+        for k in range(i):
+            s = s - l[i][k] * l[i][k]
+        l[i][i] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        for j in range(i + 1, n):
+            s = a[..., j, i]
+            for k in range(i):
+                s = s - l[j][k] * l[i][k]
+            l[j][i] = s / l[i][i]
+    # Forward substitution L y = b.
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - l[i][k] * y[k]
+        y[i] = s / l[i][i]
+    # Back substitution L^T x = y.
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - l[k][i] * x[k]
+        x[i] = s / l[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def _gn_step(tf, pts3d, obs_uv, weights, cam: CameraModel, damping=1e-4):
     """One damped Gauss-Newton update on the 6-dof left-increment twist."""
     res, p, ok = _reprojection_residuals(tf, pts3d, obs_uv, cam)
@@ -257,7 +295,7 @@ def _gn_step(tf, pts3d, obs_uv, weights, cam: CameraModel, damping=1e-4):
     jtj = jnp.einsum("nri,nrj,n->ij", jac, jac, w)
     jtr = jnp.einsum("nri,nr,n->i", jac, r, w)
     jtj = jtj + damping * jnp.eye(6, dtype=jnp.float32)
-    xi = -jnp.linalg.solve(jtj, jtr)
+    xi = -_chol_solve6(jtj, jtr)
     return geometry.se3_exp(xi) @ tf
 
 

@@ -221,6 +221,7 @@ def detect_step(
         dt,
         tunables.dynamic_flow_diff,
         transform_prev2now=motion,
+        config=config.scene_flow,
     )
     # Reference: no velocity cloud without a previous frame AND a successful
     # ego-motion estimate (construct() null checks,
