@@ -107,21 +107,33 @@ class FlowEstimator(nn.Module):
 
 
 class ContextNetwork(nn.Module):
-    """Dilated refinement network applied at the finest estimated level."""
+    """Dilated refinement network applied at the finest estimated level.
+
+    ``dilation_impl="space_to_batch"`` lowers each dilated conv as d*d
+    dense convs on phase-subsampled grids (flow_ops.space_to_batch) — the
+    identical function with the identical params, so checkpoints are
+    interchangeable between the two lowerings.
+    """
 
     dtype: Any = jnp.bfloat16
+    dilation_impl: str = "direct"
 
     @nn.compact
     def __call__(self, features, flow):
         x = jnp.concatenate([features, flow.astype(self.dtype)], axis=-1)
         for ch, dil in ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)):
+            s2b = self.dilation_impl == "space_to_batch" and dil > 1
+            if s2b:
+                x, hw = flow_ops.space_to_batch(x, dil)
             x = nn.Conv(
                 ch,
                 (3, 3),
                 padding="SAME",
-                kernel_dilation=(dil, dil),
+                kernel_dilation=(1, 1) if s2b else (dil, dil),
                 dtype=self.dtype,
             )(x)
+            if s2b:
+                x = flow_ops.batch_to_space(x, dil, hw)
             x = nn.leaky_relu(x, 0.1)
         residual = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32)(
             x.astype(jnp.float32)
@@ -193,7 +205,9 @@ class PWCNet(nn.Module):
             feat, up, res_flow = FlowEstimator(dtype=dt)(x)
             flow = res_flow if flow is None else flow + res_flow
             if lvl == 2 and cfg.use_context_net:
-                flow = ContextNetwork(dtype=dt)(feat, flow)
+                flow = ContextNetwork(
+                    dtype=dt, dilation_impl=cfg.context_dilation_impl
+                )(feat, flow)
             flows.append(flow)
             up_feat = up
 

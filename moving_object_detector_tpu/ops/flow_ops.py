@@ -153,3 +153,34 @@ def upsample_flow_2x(flow: jnp.ndarray) -> jnp.ndarray:
     """Bilinear 2x upsampling of a flow field, scaling the vectors by 2."""
     _, h, w, _ = flow.shape
     return resize_bilinear(flow, (h * 2, w * 2)) * 2.0
+
+
+def space_to_batch(x: jnp.ndarray, d: int):
+    """Split (B, H, W, C) into d*d phase-subsampled grids on the batch axis.
+
+    A SAME 3x3 convolution with kernel dilation d over the original image
+    equals a SAME 3x3 dense convolution over each of the d*d subgrids
+    (output pixel (i, j) reads x[i + k*d, j + l*d], which within subgrid
+    (i%d, j%d) is its dense 8-neighborhood; zero padding beyond the image
+    matches the subgrid's SAME padding). Returns the (B*d*d, ceil(H/d),
+    ceil(W/d), C) batch plus the original (H, W) for batch_to_space.
+    """
+    b, h, w, c = x.shape
+    ph = (-h) % d
+    pw = (-w) % d
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    hp, wp = h + ph, w + pw
+    x = x.reshape(b, hp // d, d, wp // d, d, c)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(b * d * d, hp // d, wp // d, c), (h, w)
+
+
+def batch_to_space(x: jnp.ndarray, d: int, hw) -> jnp.ndarray:
+    """Inverse of space_to_batch (crops the padding back off)."""
+    h, w = hw
+    bdd, hs, ws, c = x.shape
+    b = bdd // (d * d)
+    x = x.reshape(b, d, d, hs, ws, c)
+    x = x.transpose(0, 3, 1, 4, 2, 5).reshape(b, hs * d, ws * d, c)
+    return x[:, :h, :w]

@@ -138,3 +138,27 @@ def test_warp_two_pass_grad_flows():
         lambda fl: jnp.sum(warp_two_pass(feats, fl, 4, 4) ** 2)
     )(flow)
     assert bool(jnp.any(jnp.abs(g) > 0))
+
+
+def test_context_dilation_space_to_batch_equivalent():
+    """space_to_batch lowering of the dilated context convs is exact (same
+    params, same function) vs the direct lowering, incl. non-divisible
+    spatial sizes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moving_object_detector_tpu.models.pwc_net import ContextNetwork
+
+    key = jax.random.PRNGKey(0)
+    h, w = 37, 83  # not divisible by the 2/4/8/16 dilations
+    feats = jax.random.uniform(key, (1, h, w, 40), jnp.float32)
+    flow = jax.random.uniform(jax.random.PRNGKey(1), (1, h, w, 2),
+                              jnp.float32)
+    direct = ContextNetwork(dtype=jnp.float32, dilation_impl="direct")
+    s2b = ContextNetwork(dtype=jnp.float32,
+                         dilation_impl="space_to_batch")
+    params = direct.init(key, feats, flow)
+    out_d = np.asarray(direct.apply(params, feats, flow))
+    out_s = np.asarray(s2b.apply(params, feats, flow))
+    np.testing.assert_allclose(out_s, out_d, rtol=2e-5, atol=2e-5)
