@@ -94,35 +94,49 @@ def cluster_scene_flow(
 
     # Component sizes + root selection, scatter/gather-free (both lower to
     # ~467k-update serialized ops on TPU, measured ~7 ms on busy frames):
-    # sort the labels once, measure run lengths with scans, and pick the
-    # first `cap` runs of size >= cluster_size. Sorted order is ascending
+    # sort the labels once, test run lengths with a shifted compare, and
+    # pick the first `cap` runs of size >= cluster_size. Sorted order is ascending
     # label = ascending raster index of the component's first member, the
     # same ordering the reference's removeSmallClusters renumbering
     # produces (clusterer_nodelet.cpp:354-393). Like the reference, a lone
     # dynamic pixel still forms a (size-1) component; min_size >= 2 removes
     # singletons for exact parity.
-    min_size = jnp.maximum(cluster_size, 2)
+    min_size = jnp.clip(cluster_size, 2, n)
     pos = jnp.arange(n, dtype=jnp.int32)
-    s = jnp.sort(flat_labels)
+    # Lexicographic sort (label asc, ||v|| desc, pixel index): one sort
+    # serves both root selection AND the median — each cluster's members
+    # land contiguous with descending norms, so the reference's
+    # "sort by ||v||, take element size/2" (cluster2MovingObject,
+    # clusterer_nodelet.cpp:168-174) becomes a (cap,)-element gather at
+    # run_start + size//2 instead of a 22-pass per-cluster bisection.
+    # f32 bits of non-negative floats are order-isomorphic to the floats,
+    # so the negated bitcast sorts norms descending; NaN norms only occur
+    # on background pixels (label = sentinel) where order is irrelevant.
+    flat_vnorm = vnorm.reshape(-1)
+    vbits = jax.lax.bitcast_convert_type(flat_vnorm, jnp.int32)
+    s, _, spix = jax.lax.sort(
+        (flat_labels, -vbits, pos), num_keys=2
+    )
     start = jnp.concatenate(
         [jnp.ones((1,), bool), s[1:] != s[:-1]]
     )  # first element of each run
-    # Run length at each start: distance to the next start. rcm[i] = min
-    # start-position >= i; the next start after a run starting at i is
-    # rcm shifted left by one (n past the end).
-    startpos = jnp.where(start, pos, n)
-    rcm = jax.lax.associative_scan(jnp.minimum, startpos, reverse=True)
-    nxt = jnp.concatenate([rcm[1:], jnp.full((1,), n, jnp.int32)])
-    size = nxt - pos  # meaningful at starts only
-    big_start = start & (size >= min_size) & (s < n)
+    # Run-length test without scans (the reverse min-scan + cumsum pair
+    # measured ~0.9 ms at KITTI res; the sort itself is only ~0.2 ms): a
+    # run starting at i has >= m members iff the element m-1 slots ahead
+    # holds the same value. Padding with the background sentinel can't
+    # fake a run: real labels are < n.
+    s_pad = jnp.concatenate([s, jnp.full((n,), jnp.int32(n))])
+    tail = jax.lax.dynamic_slice(s_pad, (min_size - 1,), (n,))
+    big_start = start & (s < n) & (tail == s)
 
-    # Rank big runs in sorted (= ascending-root) order; take the first cap.
-    rank = jnp.cumsum(big_start.astype(jnp.int32)) - 1
-    roots_list = []
-    for c in range(cap):
-        sel = big_start & (rank == c)
-        roots_list.append(jnp.min(jnp.where(sel, s, n)))
-    roots = jnp.stack(roots_list)  # (cap,) label value = root flat index
+    # First `cap` big runs in sorted (= ascending-root) order: the cap
+    # smallest start positions, via one top_k over negated positions.
+    neg = jnp.where(big_start, -pos, jnp.int32(-(n + 1)))
+    topv, _ = jax.lax.top_k(neg, cap)
+    rpos = -topv  # (cap,) ascending start positions; n+1 = no such run
+    roots = jnp.where(
+        rpos < n, jnp.take(s, jnp.minimum(rpos, n - 1)), jnp.int32(n)
+    )  # (cap,) label value = root flat index
     root_valid = roots < n
 
     # Compact id per pixel: cap masked passes instead of a 467k-element
@@ -139,7 +153,6 @@ def cluster_scene_flow(
     # Unrolled masked reductions: a 17-bin segment_min lowers to a 467k
     # -element scatter (~7 ms on TPU); `cap` masked min-reduces are ~0.2 ms.
     pts = cloud.points.reshape(n, 3)
-    member = cid < cap
     mins_list, maxs_list, csize_list = [], [], []
     for c in range(cap):
         in_c = (cid == c)[:, None]
@@ -152,33 +165,11 @@ def cluster_scene_flow(
 
     # Median velocity: the member whose ||v|| ranks size/2-th (0-based) in
     # *descending* order (cluster2MovingObject, clusterer_nodelet.cpp:
-    # 168-174), i.e. the (size/2 + 1)-th largest norm. Found by per-cluster
-    # bisection over the norm range — a few dozen vectorized compare+reduce
-    # passes instead of a 467k-element sort (slow on TPU).
-    flat_vnorm = vnorm.reshape(-1)
-    # (N, cap) masked norms: -inf outside the cluster.
-    cluster_cols = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    masked = jnp.where(
-        cid[:, None] == cluster_cols, flat_vnorm[:, None], -jnp.inf
-    )
-    target = csize // 2 + 1  # required count of members with norm >= t
-    vmax = jnp.max(jnp.where(jnp.isfinite(masked), masked, 0.0), axis=0)
-    lo = jnp.zeros((cap,), jnp.float32)
-    hi = vmax + 1.0
-
-    def bisect(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum(masked >= mid[None, :], axis=0)
-        ok = cnt >= target
-        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, 22, bisect, (lo, hi))
-    # The k-th largest norm is the smallest member norm >= lo (up to f32
-    # bisection resolution); take that member's full velocity vector.
-    eps = lo * 1e-5 + 1e-7
-    sel = jnp.where(masked >= (lo - eps)[None, :], masked, jnp.inf)
-    median_pixel = jnp.argmin(sel, axis=0)  # (cap,)
+    # 168-174). The lexicographic sort above already ordered every
+    # cluster's members contiguously by descending norm, so the median
+    # member is the pixel at sorted position run_start + size//2.
+    mpos = jnp.clip(rpos + csize // 2, 0, n - 1)
+    median_pixel = jnp.take(spix, mpos)  # (cap,)
     med_vel = vel.reshape(n, 3)[median_pixel]
 
     med_norm = jnp.sqrt(jnp.sum(med_vel * med_vel, axis=-1))
