@@ -49,7 +49,7 @@ def _roll2d(x, dv, du):
 
 def _cc_kernel(
     dyn_ref, z_ref, dd_ref, off_ref, label_ref,
-    *, h, w, hp, wp, n_offsets, max_iters,
+    *, h, w, hp, wp, dv_groups, max_iters,
 ):
     # Mosaic only rotates 32-bit vectors: anything rolled (dyn, adjacency,
     # reach flags) lives as int32 0/1. All in-kernel loops are
@@ -72,17 +72,29 @@ def _cc_kernel(
     sentinel = jnp.int32(h * w)
     init = jnp.where(dyn_i != 0, vi0 * w + ui0, sentinel)
 
+    def roll_rows(x, dv):
+        """out[v, u] = x[v + dv, u]; wrapped rows must be masked."""
+        if isinstance(dv, int) and dv % hp == 0:
+            return x
+        return pltpu.roll(x, (-dv) % hp, 0)
+
+    def roll_cols(x, du):
+        """out[v, u] = x[v, u + du]; wrapped columns must be masked."""
+        if isinstance(du, int) and du % wp == 0:
+            return x
+        return pltpu.roll(x, (-du) % wp, 1)
+
     def roll2d(x, dv, du):
         """out[v, u] = x[v + dv, u + du]; wrapped regions must be masked
         by the caller. dv/du may be traced scalars."""
-        x = pltpu.roll(x, (-dv) % hp, 0)
-        return pltpu.roll(x, (-du) % wp, 1)
+        return roll_cols(roll_rows(x, dv), du)
 
-    def edge_i(dyn_plane, dv, du):
-        """1 where the pixel has a window edge to pixel + (dv, du).
+    def edge_from_rowrolled(dyn_plane, z_v, d_v, dv, du):
+        """1 where the pixel has a window edge to pixel + (dv, du), given
+        z/dyn planes already row-rolled by dv (z_v, d_v).
         dyn_plane: int32 with the dynamic flag at bit 4."""
-        nz = roll2d(z, dv, du)
-        nd = roll2d(dyn_plane, dv, du) & 16
+        nz = roll_cols(z_v, du)
+        nd = roll_cols(d_v, du) & 16
         vi, ui = iotas()
         okv = (vi + dv >= 0) & (vi + dv < h)
         oku = (ui + du >= 0) & (ui + du < w)
@@ -91,6 +103,11 @@ def _cc_kernel(
             & (jnp.abs(z - nz) <= dd)
         )
         return ok.astype(jnp.int32)
+
+    def edge_i(dyn_plane, dv, du):
+        return edge_from_rowrolled(
+            dyn_plane, roll_rows(z, dv), roll_rows(dyn_plane, dv), dv, du
+        )
 
     # One resident bit-packed int32 plane (separate planes put the kernel
     # 4+ MB over the 16 MB scoped-vmem limit): bit0 = edge-left,
@@ -110,18 +127,21 @@ def _cc_kernel(
     n_dbl_w = max(1, (wp - 1).bit_length())
     n_dbl_h = max(1, (hp - 1).bit_length())
 
-    def seg_scan(label, bit, dv, du, n_dbl):
-        """Distance-doubling segmented min along one direction: adj bit
-        ``bit`` set at p means p takes min from p + (dv, du). After
+    def seg_scan(label, bit, axis, sign, n_dbl):
+        """Distance-doubling segmented min along one axis: adj bit
+        ``bit`` set at p means p takes min from p + sign*e_axis. After
         ceil(log2(span)) doublings every pixel holds the min over its
-        maximal linked run."""
+        maximal linked run. Axis-aligned, so each doubling step is ONE
+        rotate per plane (the old roll2d form paid a second zero-amount
+        dynamic rotate per step)."""
+        roll1 = roll_rows if axis == 0 else roll_cols
 
         def step(j, carry):
             label, reach = carry
-            k = jnp.int32(1) << j
-            neigh = roll2d(label, dv * k, du * k)
+            k = sign * (jnp.int32(1) << j)
+            neigh = roll1(label, k)
             label = jnp.where(reach != 0, jnp.minimum(label, neigh), label)
-            reach = reach * roll2d(reach, dv * k, du * k)
+            reach = reach * roll1(reach, k)
             return label, reach
 
         link_i = (adj >> bit) & 1
@@ -132,38 +152,53 @@ def _cc_kernel(
     # masks once, bit-packed into two resident planes (offset idx -> bit
     # idx%32 of plane idx//32), so each sweep step is one label roll plus
     # a bit test instead of re-rolling z/adj and re-evaluating the gate.
-    def pack_edges(_, planes):
-        def one(idx, pl2):
+    # Offsets are grouped by dv (static, contiguous in off_ref): the row
+    # rotate happens once per group as a static-amount roll, and only the
+    # column rotate stays per-offset — 9 static + 48 dynamic rotates
+    # instead of 96 dynamic ones per sweep.
+    zero = jnp.zeros_like(adj)
+    epack1, epack2 = zero, zero
+    for dv, base, cnt in dv_groups:
+        z_v = roll_rows(z, dv)
+        d_v = roll_rows(adj, dv)
+
+        def pack_one(i, pl2, dv=dv, base=base, z_v=z_v, d_v=d_v):
             e1, e2 = pl2
-            eb = edge_i(adj, off_ref[idx, 0], off_ref[idx, 1])
+            idx = base + i
+            du = off_ref[idx, 1]
+            eb = edge_from_rowrolled(adj, z_v, d_v, dv, du)
             lo = idx < 32
             e1 = e1 | jnp.where(lo, eb << idx, 0)
             e2 = e2 | jnp.where(lo, 0, eb << (idx - 32))
             return e1, e2
-        return jax.lax.fori_loop(0, n_offsets, one, planes)
 
-    zero = jnp.zeros_like(adj)
-    epack1, epack2 = pack_edges(None, (zero, zero))
+        epack1, epack2 = jax.lax.fori_loop(
+            0, cnt, pack_one, (epack1, epack2)
+        )
 
     def sweep(label):
-        def step(idx, best):
-            dv = off_ref[idx, 0]
-            du = off_ref[idx, 1]
-            lo = idx < 32
-            bits = jnp.where(lo, epack1 >> idx, epack2 >> (idx - 32))
-            neigh = roll2d(label, dv, du)
-            return jnp.minimum(
-                best, jnp.where(bits & 1 != 0, neigh, jnp.int32(_BIG))
-            )
+        best = label
+        for dv, base, cnt in dv_groups:
+            lab_v = roll_rows(label, dv)
 
-        best = jax.lax.fori_loop(0, n_offsets, step, label)
+            def step(i, b, base=base, lab_v=lab_v):
+                idx = base + i
+                du = off_ref[idx, 1]
+                lo = idx < 32
+                bits = jnp.where(lo, epack1 >> idx, epack2 >> (idx - 32))
+                neigh = roll_cols(lab_v, du)
+                return jnp.minimum(
+                    b, jnp.where(bits & 1 != 0, neigh, jnp.int32(_BIG))
+                )
+
+            best = jax.lax.fori_loop(0, cnt, step, best)
         return jnp.where(dyn, best, sentinel)
 
     def propagate(label):
-        label = seg_scan(label, 0, 0, -1, n_dbl_w)
-        label = seg_scan(label, 1, 0, 1, n_dbl_w)
-        label = seg_scan(label, 2, -1, 0, n_dbl_h)
-        label = seg_scan(label, 3, 1, 0, n_dbl_h)
+        label = seg_scan(label, 0, 1, -1, n_dbl_w)
+        label = seg_scan(label, 1, 1, 1, n_dbl_w)
+        label = seg_scan(label, 2, 0, -1, n_dbl_h)
+        label = seg_scan(label, 3, 0, 1, n_dbl_h)
         return jnp.where(dyn, label, sentinel)
 
     def cond(state):
@@ -205,12 +240,24 @@ def connected_components_pallas(
         constant_values=jnp.inf,
     )
     dd = jnp.asarray(depth_diff, jnp.float32).reshape(1)
-    offsets = jnp.asarray(_edge_offsets(neighbor_distance), jnp.int32)
+    off_list = _edge_offsets(neighbor_distance)
+    offsets = jnp.asarray(off_list, jnp.int32)
+    # Static (dv, base, count) runs of the dv-contiguous offset list, so
+    # the kernel can hoist one static row rotate per dv group.
+    dv_groups = []
+    i = 0
+    while i < len(off_list):
+        j = i
+        while j < len(off_list) and off_list[j][0] == off_list[i][0]:
+            j += 1
+        dv_groups.append((off_list[i][0], i, j - i))
+        i = j
+    dv_groups = tuple(dv_groups)
 
     out = pl.pallas_call(
         partial(
             _cc_kernel, h=h, w=w, hp=hp, wp=wp,
-            n_offsets=offsets.shape[0], max_iters=max_iters,
+            dv_groups=dv_groups, max_iters=max_iters,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -59,10 +59,14 @@ from ..types import DisparityImage, StereoModel
 def _neighbor_rows(x: jnp.ndarray, halo: int, axis_name: str, n: int):
     """(top_halo, bottom_halo) rows for the local stripe: the previous
     shard's last rows and the next shard's first rows, exchanged over ICI;
-    edge-replicated where there is no neighbor (first/last stripe)."""
+    edge-replicated where there is no neighbor (first/last stripe).
+
+    The row axis is -2, so this works for a (H, W) stripe and for a
+    (N, H, W) batch of stream stripes alike (one exchange moves every
+    local stream's halo in a single ppermute)."""
     idx = jax.lax.axis_index(axis_name)
-    top_rows = x[:halo]
-    bot_rows = x[-halo:]
+    top_rows = x[..., :halo, :]
+    bot_rows = x[..., -halo:, :]
     # My bottom rows become the next shard's top halo, and vice versa.
     from_prev = jax.lax.ppermute(
         bot_rows, axis_name, [(i, i + 1) for i in range(n - 1)]
@@ -70,8 +74,8 @@ def _neighbor_rows(x: jnp.ndarray, halo: int, axis_name: str, n: int):
     from_next = jax.lax.ppermute(
         top_rows, axis_name, [(i + 1, i) for i in range(n - 1)]
     )
-    edge_top = jnp.broadcast_to(x[:1], from_prev.shape)
-    edge_bot = jnp.broadcast_to(x[-1:], from_next.shape)
+    edge_top = jnp.broadcast_to(x[..., :1, :], from_prev.shape)
+    edge_bot = jnp.broadcast_to(x[..., -1:, :], from_next.shape)
     top = jnp.where(idx == 0, edge_top, from_prev)
     bot = jnp.where(idx == n - 1, edge_bot, from_next)
     return top, bot
@@ -79,7 +83,7 @@ def _neighbor_rows(x: jnp.ndarray, halo: int, axis_name: str, n: int):
 
 def _with_halo(x: jnp.ndarray, halo: int, axis_name: str, n: int):
     top, bot = _neighbor_rows(x, halo, axis_name, n)
-    return jnp.concatenate([top, x, bot], axis=0)
+    return jnp.concatenate([top, x, bot], axis=-2)
 
 
 def compute_disparity_spatial(
@@ -150,3 +154,97 @@ def flow_forward_spatial(
         return flow[halo:-halo]
 
     return run(flow_params, prev_img, now_img)
+
+
+def detect_step_streams_spatial(
+    flow_params,
+    states,
+    lefts: jnp.ndarray,
+    rights: jnp.ndarray,
+    ts: jnp.ndarray,
+    stereo: StereoModel,
+    config,
+    flow_model,
+    mesh: Mesh,
+    stream_axis: str = "data",
+    row_axis: str = "model",
+    sgm_halo: int = 32,
+    flow_halo: int = 64,
+):
+    """Streams x spatial composition over a (data, model) mesh.
+
+    The full production scaling story in one step (SURVEY.md §2.4 last
+    row + the image_crop analog above): N camera streams are data-parallel
+    over ``stream_axis`` while EACH stream's heavy perception (SGM + flow
+    net — ~half the frame program) is row-stripe sharded over ``row_axis``.
+    On a v5e-8 as (data=4, model=2), 4 streams each use 2 chips for the
+    pixel-dense stages; the remaining stages run under GSPMD with the
+    stream axis sharded (light: clusterer reductions, tracker, geometry).
+
+    Args mirror parallel.streams.detect_step_batched; lefts/rights/
+    states.prev_left are (N, H, W) with N divisible by the stream-axis
+    size and H by the row-axis size.
+    """
+    from ..pipeline import _flow_forward
+    from .streams import detect_step_batched
+
+    n_rows = mesh.shape[row_axis]
+    n, h, w = lefts.shape
+    assert n % mesh.shape[stream_axis] == 0, (n, mesh.shape[stream_axis])
+    assert h % n_rows == 0, (h, n_rows)
+    stripe = h // n_rows
+    assert sgm_halo <= stripe, f"sgm halo {sgm_halo} > stripe {stripe}"
+    assert flow_halo <= stripe, f"flow halo {flow_halo} > stripe {stripe}"
+
+    param_specs = jax.tree_util.tree_map(lambda _: P(), flow_params)
+    img_spec = P(stream_axis, row_axis)
+
+    @_smap(
+        mesh,
+        (param_specs, img_spec, img_spec, img_spec),
+        (img_spec, img_spec),
+    )
+    def heavy(params, prevs, ls, rs):
+        # One halo exchange per plane moves every local stream's rows.
+        le = _with_halo(ls, sgm_halo, row_axis, n_rows)
+        re_ = _with_halo(rs, sgm_halo, row_axis, n_rows)
+        disp = jax.vmap(
+            lambda a, b: sgm_disparity_raw(a, b, config.sgm)
+        )(le, re_)[:, sgm_halo:-sgm_halo]
+
+        pe = _with_halo(prevs, flow_halo, row_axis, n_rows)
+        qe = _with_halo(ls, flow_halo, row_axis, n_rows)
+        flow = jax.vmap(
+            lambda a, b: _flow_forward(
+                params, flow_model, a, b,
+                input_scale=config.flow_input_scale,
+            )
+        )(pe, qe)[:, flow_halo:-flow_halo]
+        return disp, flow
+
+    lefts = lefts.astype(jnp.float32)
+    rights = rights.astype(jnp.float32)
+    disp, flow = heavy(flow_params, states.prev_left, lefts, rights)
+
+    disp_imgs = jax.vmap(
+        lambda d: DisparityImage.create(
+            d,
+            f=stereo.cam.fx,
+            t=stereo.baseline,
+            min_disparity=0.0,
+            max_disparity=float(config.sgm.max_disparity - 1),
+        )
+    )(disp)
+
+    return detect_step_batched(
+        flow_params,
+        states,
+        lefts,
+        rights,
+        ts,
+        stereo,
+        config,
+        flow_model=flow_model,
+        flow_overrides=flow,
+        disparity_overrides=disp_imgs,
+    )

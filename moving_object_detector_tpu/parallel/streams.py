@@ -43,15 +43,18 @@ def detect_step_batched(
     config: PipelineConfig,
     flow_model=None,
     flow_overrides: jnp.ndarray | None = None,
+    disparity_overrides=None,
 ):
     """vmapped detect_step over a leading stream axis.
 
     Args mirror detect_step with a leading N dimension on states/images/
     timestamps (flow params and stereo calibration are shared across
-    streams; per-stream calibration would vmap over stereo too).
-    """
+    streams; per-stream calibration would vmap over stereo too). The
+    optional overrides carry externally computed per-stream perception
+    results — e.g. the spatially sharded SGM/flow kernels
+    (parallel/spatial.py detect_step_streams_spatial)."""
 
-    def one(state, left, right, t, flow_override):
+    def one(state, left, right, t, flow_override, disparity_override):
         return detect_step(
             flow_params,
             state,
@@ -62,14 +65,19 @@ def detect_step_batched(
             config,
             flow_model=flow_model,
             flow_override=flow_override,
+            disparity_override=disparity_override,
         )
 
-    if flow_overrides is None:
-        fn = lambda s, l, r, t: detect_step(
-            flow_params, s, l, r, t, stereo, config, flow_model=flow_model
-        )
-        return jax.vmap(fn)(states, lefts, rights, ts)
-    return jax.vmap(one)(states, lefts, rights, ts, flow_overrides)
+    # None can't pass through vmap: pin absent overrides as broadcast None
+    # via in_axes.
+    in_axes = (
+        0, 0, 0, 0,
+        None if flow_overrides is None else 0,
+        None if disparity_overrides is None else 0,
+    )
+    return jax.vmap(one, in_axes=in_axes)(
+        states, lefts, rights, ts, flow_overrides, disparity_overrides
+    )
 
 
 def shard_streams(mesh: Mesh, *arrays):

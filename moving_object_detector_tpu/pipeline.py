@@ -153,11 +153,18 @@ def detect_step(
     config: PipelineConfig,
     flow_model: PWCNet | None = None,
     flow_override: jnp.ndarray | None = None,
+    disparity_override: DisparityImage | None = None,
     tunables=None,
 ):
     """One full frame: stereo pair -> disparity, ego-motion, optical flow,
     scene flow, detections, tracks. The single-program equivalent of
     stereoCallback + construct + clusterer + tracker (SURVEY.md §3.1-3.3).
+
+    ``flow_override``/``disparity_override`` swap in externally produced
+    perception results: recorded/classical fields (SURVEY.md §7 step 2's
+    validation path) or the spatially sharded kernels
+    (parallel/spatial.py), which run the heavy stages over several chips
+    before the rest of the frame program.
     """
     cam = stereo.cam
     left = left.astype(jnp.float32)
@@ -171,7 +178,10 @@ def detect_step(
         tunables = Tunables.from_config(config)
 
     # --- Perception fan-out (reference threads A/B/C, one XLA program). ---
-    disparity_now = compute_disparity(left, right, stereo, config.sgm)
+    if disparity_override is not None:
+        disparity_now = disparity_override
+    else:
+        disparity_now = compute_disparity(left, right, stereo, config.sgm)
 
     disparity_prev = DisparityImage.create(
         state.prev_disparity,

@@ -17,10 +17,14 @@ GOLDEN = {
     2: ([-0.4478, -0.0262, 4.0537], [2.0027, 0.0, 0.0]),
     3: ([-0.1787, -0.0253, 4.0659], [2.0049, 0.0009, -0.0124]),
     4: ([0.0179, -0.0368, 4.1682], [2.0049, 0.0, 0.0]),
-    5: ([0.2435, -0.0371, 4.2079], [2.0076, 0.0, 0.0]),
+    5: ([0.2435, -0.0371, 4.2079], [2.0055, 0.0092, -0.0920]),
     6: ([0.4509, -0.0461, 4.1894], [1.9992, -0.0164, -0.1645]),
 }
-GOLDEN_TRACK = ([0.4095, -0.0347, 4.1894], [2.0083, -0.0043, -0.1645])
+GOLDEN_TRACK = ([0.4094, -0.0343, 4.1894], [2.0079, -0.0027, -0.1645])
+# Frame-5 / track velocities recaptured after the lexicographic-sort median
+# (clusterer.py): among equal-||v|| members the selected median member is
+# tie-broken by pixel index now, matching the reference's unstable
+# std::sort semantics (clusterer_nodelet.cpp:168-174) at the same rank.
 
 
 def test_pipeline_golden_sequence():

@@ -110,3 +110,118 @@ def test_sgm_spatial_halo_bounds_checked():
     mesh = create_mesh(8, model_parallel=8)
     with pytest.raises(AssertionError):
         compute_disparity_spatial(left, left, stereo, cfg, mesh, halo=16)
+
+
+def test_detect_step_streams_spatial_composition():
+    """Streams x spatial: 4 streams over 'data' x 2-way row stripes over
+    'model' on the 8-device CPU mesh. The composed step must (a) plumb the
+    sharded heavy-stage outputs bitwise-exactly into the batched frame
+    program, and (b) agree with the fully unsharded batched step away from
+    stripe seams."""
+    from moving_object_detector_tpu.config import (
+        ClustererConfig, EgoMotionConfig, PipelineConfig, SceneFlowConfig,
+        SGMConfig, TrackerConfig,
+    )
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet, init_pwc_params,
+    )
+    from moving_object_detector_tpu.parallel.spatial import (
+        detect_step_streams_spatial,
+    )
+    from moving_object_detector_tpu.parallel.streams import (
+        create_stream_states, detect_step_batched, shard_streams,
+    )
+
+    h, w, n = 64, 128, 4
+    config = PipelineConfig(
+        height=h, width=w,
+        scene_flow=SceneFlowConfig(dynamic_flow_diff=2.0),
+        clusterer=ClustererConfig(
+            cluster_size=100, depth_diff=0.3, dynamic_speed=0.3,
+            neighbor_distance=2, max_objects=4,
+        ),
+        tracker=TrackerConfig(max_tracks=8),
+        sgm=SGMConfig(max_disparity=16, census_window=(5, 5), backend="xla"),
+        egomotion=EgoMotionConfig(
+            max_features=128, nms_radius=2, ransac_hypotheses=16,
+            lk_pyramid_levels=2, min_inliers=8,
+        ),
+        flownet=FlowNetConfig(
+            feature_channels=(8, 16, 32), search_range=2,
+            use_context_net=False, dtype="float32",
+        ),
+    )
+    stereo = StereoModel.create(fx=100.0, fy=100.0, cx=w / 2, cy=h / 2,
+                                baseline=0.48)
+    model = PWCNet(config=config.flownet)
+    params = init_pwc_params(model, h, w, jax.random.PRNGKey(0))
+
+    # Per-stream textured scenes; right = left shifted (uniform disparity 6).
+    keys = jax.random.split(jax.random.PRNGKey(3), n)
+    k3 = jnp.ones((3, 3), jnp.float32) / 9.0
+    def scene(key):
+        img = jax.random.uniform(key, (h, w), jnp.float32)
+        return jax.scipy.signal.convolve2d(img, k3, mode="same")
+    lefts0 = jax.vmap(scene)(keys)
+    rights0 = jnp.roll(lefts0, -6, axis=2)
+    # Frame 1: camera static, texture identical (zero-flow scene).
+    lefts1, rights1 = lefts0, rights0
+
+    mesh = create_mesh(8, model_parallel=2)
+    states = create_stream_states(config, n)
+    ts0 = jnp.full((n,), 0.1, jnp.float32)
+    ts1 = jnp.full((n,), 0.2, jnp.float32)
+
+    # Warm-up frame on BOTH paths from the same initial states.
+    states_pl, _ = detect_step_batched(
+        params, states, lefts0, rights0, ts0, stereo, config,
+        flow_model=model,
+    )
+    with mesh:
+        states_sp, _ = detect_step_streams_spatial(
+            params, states, lefts0, rights0, ts0, stereo, config, model,
+            mesh, sgm_halo=12, flow_halo=24,
+        )
+        states_sp2, out_sp = detect_step_streams_spatial(
+            params, states_sp, lefts1, rights1, ts1, stereo, config, model,
+            mesh, sgm_halo=12, flow_halo=24,
+        )
+    states_pl2, out_pl = detect_step_batched(
+        params, states_pl, lefts1, rights1, ts1, stereo, config,
+        flow_model=model,
+    )
+
+    # (a) plumbing exactness: feeding the SAME sharded heavy outputs through
+    # the batched step must reproduce the composed step bitwise.
+    _, out_ref = detect_step_batched(
+        params, states_sp, lefts1, rights1, ts1, stereo, config,
+        flow_model=model,
+        flow_overrides=out_sp.flow,
+        disparity_overrides=out_sp.disparity,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_ref.scene_flow.velocity),
+        np.asarray(out_sp.scene_flow.velocity),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_ref.label_image), np.asarray(out_sp.label_image)
+    )
+
+    # (b) seam-tolerant agreement with the unsharded batched step.
+    d_sp = np.asarray(out_sp.disparity.disparity)
+    d_pl = np.asarray(out_pl.disparity.disparity)
+    assert d_sp.shape == (n, h, w)
+    status_agree = ((d_sp >= 0) == (d_pl >= 0)).mean()
+    assert status_agree > 0.95, status_agree
+    both = (d_sp >= 0) & (d_pl >= 0)
+    assert both.mean() > 0.5
+    assert (np.abs(d_sp - d_pl)[both] <= 1.0).mean() > 0.97
+
+    f_sp = np.asarray(out_sp.flow)
+    f_pl = np.asarray(out_pl.flow)
+    assert f_sp.shape == (n, h, w, 2)
+    assert np.median(np.abs(f_sp - f_pl)) < 0.1
+    # Static scene: neither path may detect motion.
+    assert int(np.asarray(out_sp.detections.valid).sum()) == 0
+    assert int(np.asarray(out_pl.detections.valid).sum()) == 0
+    assert bool(np.asarray(out_sp.frame_valid).all())
