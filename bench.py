@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--streams", type=int, default=1,
                     help="batch N camera streams (vmapped pipeline) and"
                          " report aggregate pairs/s")
+    ap.add_argument("--spatial", type=int, default=1,
+                    help="row-stripe the heavy perception of each stream "
+                         "over K chips (needs streams*K devices; "
+                         "parallel/spatial.py detect_step_streams_spatial)")
     args = ap.parse_args(argv)
 
     import jax
@@ -103,7 +107,24 @@ def main(argv=None):
     n_ring = left_ring.shape[0]
 
     n_streams = args.streams
-    if n_streams > 1:
+    n_spatial = args.spatial
+    mesh = None
+    if n_spatial > 1:
+        from moving_object_detector_tpu.parallel.mesh import create_mesh
+        from moving_object_detector_tpu.parallel.spatial import (
+            detect_step_streams_spatial,
+        )
+
+        n_dev = len(jax.devices())
+        need = n_streams * n_spatial
+        if n_dev < need:
+            sys.exit(
+                f"--streams {n_streams} --spatial {n_spatial} needs "
+                f"{need} devices, found {n_dev}"
+            )
+        assert h % n_spatial == 0, (h, n_spatial)
+        mesh = create_mesh(need, model_parallel=n_spatial)
+    if n_streams > 1 or n_spatial > 1:
         from moving_object_detector_tpu.parallel.streams import (
             create_stream_states,
             detect_step_batched,
@@ -132,23 +153,36 @@ def main(argv=None):
             right = jax.lax.dynamic_index_in_dim(
                 right_ring, k, keepdims=False
             )
-            if n_streams > 1:
+            if n_streams > 1 or n_spatial > 1:
                 lefts = jnp.broadcast_to(
                     left, (n_streams,) + left.shape
                 )
                 rights = jnp.broadcast_to(
                     right, (n_streams,) + right.shape
                 )
-                state, out = detect_step_batched(
-                    params,
-                    state,
-                    lefts,
-                    rights,
-                    state.prev_time + 0.1,
-                    stereo,
-                    config,
-                    flow_model=model,
-                )
+                if n_spatial > 1:
+                    state, out = detect_step_streams_spatial(
+                        params,
+                        state,
+                        lefts,
+                        rights,
+                        state.prev_time + 0.1,
+                        stereo,
+                        config,
+                        model,
+                        mesh,
+                    )
+                else:
+                    state, out = detect_step_batched(
+                        params,
+                        state,
+                        lefts,
+                        rights,
+                        state.prev_time + 0.1,
+                        stereo,
+                        config,
+                        flow_model=model,
+                    )
             else:
                 state, out = detect_step(
                     params,
@@ -204,6 +238,8 @@ def main(argv=None):
         metric += "_busy"
     if n_streams > 1:
         metric += f"_x{n_streams}streams"
+    if n_spatial > 1:
+        metric += f"_x{n_spatial}spatial"
     print(
         json.dumps(
             {

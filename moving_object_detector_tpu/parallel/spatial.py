@@ -176,75 +176,95 @@ def detect_step_streams_spatial(
     The full production scaling story in one step (SURVEY.md §2.4 last
     row + the image_crop analog above): N camera streams are data-parallel
     over ``stream_axis`` while EACH stream's heavy perception (SGM + flow
-    net — ~half the frame program) is row-stripe sharded over ``row_axis``.
+    net — ~half the frame program) is row-stripe split over ``row_axis``.
     On a v5e-8 as (data=4, model=2), 4 streams each use 2 chips for the
-    pixel-dense stages; the remaining stages run under GSPMD with the
-    stream axis sharded (light: clusterer reductions, tracker, geometry).
+    pixel-dense stages.
 
-    Args mirror parallel.streams.detect_step_batched; lefts/rights/
-    states.prev_left are (N, H, W) with N divisible by the stream-axis
-    size and H by the row-axis size.
+    The whole step is ONE shard_map (fully manual SPMD — no GSPMD pass
+    ever sees the Pallas calls, which have no partitioning rules): images
+    arrive replicated along ``row_axis``, each device slices its own
+    stripe + halo locally (clamped into the image, so boundary stripes get
+    extra real context instead of edge padding), computes its stripe of
+    SGM + flow, and ONE tiled all_gather per product over ICI reassembles
+    the full-height fields; the light remainder of the frame program
+    (scene flow, clusterer, tracker) then runs replicated within each
+    stream group, data-parallel across streams.
+
+    Args mirror parallel.streams.detect_step_batched; lefts/rights are
+    (N, H, W) with N divisible by the stream-axis size and H by the
+    row-axis size.
     """
-    from ..pipeline import _flow_forward
-    from .streams import detect_step_batched
+    from ..pipeline import _flow_forward, detect_step
 
     n_rows = mesh.shape[row_axis]
     n, h, w = lefts.shape
     assert n % mesh.shape[stream_axis] == 0, (n, mesh.shape[stream_axis])
     assert h % n_rows == 0, (h, n_rows)
     stripe = h // n_rows
-    assert sgm_halo <= stripe, f"sgm halo {sgm_halo} > stripe {stripe}"
-    assert flow_halo <= stripe, f"flow halo {flow_halo} > stripe {stripe}"
+    assert max(sgm_halo, flow_halo) <= h, (sgm_halo, flow_halo, h)
 
     param_specs = jax.tree_util.tree_map(lambda _: P(), flow_params)
-    img_spec = P(stream_axis, row_axis)
+    sspec = P(stream_axis)
 
     @_smap(
         mesh,
-        (param_specs, img_spec, img_spec, img_spec),
-        (img_spec, img_spec),
+        (param_specs, sspec, sspec, sspec, sspec),
+        (sspec, sspec),
     )
-    def heavy(params, prevs, ls, rs):
-        # One halo exchange per plane moves every local stream's rows.
-        le = _with_halo(ls, sgm_halo, row_axis, n_rows)
-        re_ = _with_halo(rs, sgm_halo, row_axis, n_rows)
-        disp = jax.vmap(
-            lambda a, b: sgm_disparity_raw(a, b, config.sgm)
-        )(le, re_)[:, sgm_halo:-sgm_halo]
+    def run(params, states_l, lefts_l, rights_l, ts_l):
+        mp = jax.lax.axis_index(row_axis)
 
-        pe = _with_halo(prevs, flow_halo, row_axis, n_rows)
-        qe = _with_halo(ls, flow_halo, row_axis, n_rows)
+        def stripe_rows(x, halo):
+            """This device's rows [mp*stripe - halo, ...+stripe+halo) of
+            the edge-replication-padded image (same boundary semantics as
+            the single-stream kernels above)."""
+            top = jnp.broadcast_to(
+                x[:, :1], (x.shape[0], halo) + x.shape[2:]
+            )
+            bot = jnp.broadcast_to(
+                x[:, -1:], (x.shape[0], halo) + x.shape[2:]
+            )
+            xp = jnp.concatenate([top, x, bot], axis=1)
+            return jax.lax.dynamic_slice_in_dim(
+                xp, mp * stripe, stripe + 2 * halo, axis=1
+            )
+
+        le = stripe_rows(lefts_l, sgm_halo)
+        re_ = stripe_rows(rights_l, sgm_halo)
+        disp = jax.vmap(lambda a, b: sgm_disparity_raw(a, b, config.sgm))(
+            le, re_
+        )[:, sgm_halo:sgm_halo + stripe]
+
+        pe = stripe_rows(states_l.prev_left, flow_halo)
+        qe = stripe_rows(lefts_l, flow_halo)
         flow = jax.vmap(
             lambda a, b: _flow_forward(
                 params, flow_model, a, b,
                 input_scale=config.flow_input_scale,
             )
-        )(pe, qe)[:, flow_halo:-flow_halo]
-        return disp, flow
+        )(pe, qe)[:, flow_halo:flow_halo + stripe]
+        # Reassemble full-height fields within each stream group (ICI).
+        disp = jax.lax.all_gather(disp, row_axis, axis=1, tiled=True)
+        flow = jax.lax.all_gather(flow, row_axis, axis=1, tiled=True)
+
+        def one(state, left, right, t, fl, dp):
+            dimg = DisparityImage.create(
+                dp,
+                f=stereo.cam.fx,
+                t=stereo.baseline,
+                min_disparity=0.0,
+                max_disparity=float(config.sgm.max_disparity - 1),
+            )
+            return detect_step(
+                params, state, left, right, t, stereo, config,
+                flow_model=flow_model, flow_override=fl,
+                disparity_override=dimg,
+            )
+
+        return jax.vmap(one)(
+            states_l, lefts_l, rights_l, ts_l, flow, disp
+        )
 
     lefts = lefts.astype(jnp.float32)
     rights = rights.astype(jnp.float32)
-    disp, flow = heavy(flow_params, states.prev_left, lefts, rights)
-
-    disp_imgs = jax.vmap(
-        lambda d: DisparityImage.create(
-            d,
-            f=stereo.cam.fx,
-            t=stereo.baseline,
-            min_disparity=0.0,
-            max_disparity=float(config.sgm.max_disparity - 1),
-        )
-    )(disp)
-
-    return detect_step_batched(
-        flow_params,
-        states,
-        lefts,
-        rights,
-        ts,
-        stereo,
-        config,
-        flow_model=flow_model,
-        flow_overrides=flow,
-        disparity_overrides=disp_imgs,
-    )
+    return run(flow_params, states, lefts, rights, ts)

@@ -113,11 +113,11 @@ def test_sgm_spatial_halo_bounds_checked():
 
 
 def test_detect_step_streams_spatial_composition():
-    """Streams x spatial: 4 streams over 'data' x 2-way row stripes over
-    'model' on the 8-device CPU mesh. The composed step must (a) plumb the
-    sharded heavy-stage outputs bitwise-exactly into the batched frame
-    program, and (b) agree with the fully unsharded batched step away from
-    stripe seams."""
+    """Streams x spatial: 2 streams over 'data' x 2-way row stripes over
+    'model' on a 4-device submesh of the CPU mesh. The composed step must
+    (a) plumb the sharded heavy-stage outputs bitwise-exactly into the
+    batched frame program, and (b) agree with the fully unsharded batched
+    step away from stripe seams."""
     from moving_object_detector_tpu.config import (
         ClustererConfig, EgoMotionConfig, PipelineConfig, SceneFlowConfig,
         SGMConfig, TrackerConfig,
@@ -129,10 +129,10 @@ def test_detect_step_streams_spatial_composition():
         detect_step_streams_spatial,
     )
     from moving_object_detector_tpu.parallel.streams import (
-        create_stream_states, detect_step_batched, shard_streams,
+        create_stream_states, detect_step_batched,
     )
 
-    h, w, n = 64, 128, 4
+    h, w, n = 64, 128, 2
     config = PipelineConfig(
         height=h, width=w,
         scene_flow=SceneFlowConfig(dynamic_flow_diff=2.0),
@@ -167,29 +167,23 @@ def test_detect_step_streams_spatial_composition():
     # Frame 1: camera static, texture identical (zero-flow scene).
     lefts1, rights1 = lefts0, rights0
 
-    mesh = create_mesh(8, model_parallel=2)
+    mesh = create_mesh(4, model_parallel=2)  # (data=2, model=2)
     states = create_stream_states(config, n)
     ts0 = jnp.full((n,), 0.1, jnp.float32)
     ts1 = jnp.full((n,), 0.2, jnp.float32)
 
-    # Warm-up frame on BOTH paths from the same initial states.
-    states_pl, _ = detect_step_batched(
-        params, states, lefts0, rights0, ts0, stereo, config,
-        flow_model=model,
-    )
+    # Warm-up frame + measured frame, both through the composed step (one
+    # compiled program). After frame 0, state.prev_left == lefts0 on any
+    # path, so the same states serve the unsharded comparisons below.
     with mesh:
         states_sp, _ = detect_step_streams_spatial(
             params, states, lefts0, rights0, ts0, stereo, config, model,
             mesh, sgm_halo=12, flow_halo=24,
         )
-        states_sp2, out_sp = detect_step_streams_spatial(
+        _, out_sp = detect_step_streams_spatial(
             params, states_sp, lefts1, rights1, ts1, stereo, config, model,
             mesh, sgm_halo=12, flow_halo=24,
         )
-    states_pl2, out_pl = detect_step_batched(
-        params, states_pl, lefts1, rights1, ts1, stereo, config,
-        flow_model=model,
-    )
 
     # (a) plumbing exactness: feeding the SAME sharded heavy outputs through
     # the batched step must reproduce the composed step bitwise.
@@ -208,6 +202,10 @@ def test_detect_step_streams_spatial_composition():
     )
 
     # (b) seam-tolerant agreement with the unsharded batched step.
+    _, out_pl = detect_step_batched(
+        params, states_sp, lefts1, rights1, ts1, stereo, config,
+        flow_model=model,
+    )
     d_sp = np.asarray(out_sp.disparity.disparity)
     d_pl = np.asarray(out_pl.disparity.disparity)
     assert d_sp.shape == (n, h, w)
