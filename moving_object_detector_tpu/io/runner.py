@@ -79,14 +79,32 @@ class PipelineRunner:
             self.ring.push(left, right, t, timeout=30.0)
         self._done_feeding = True
 
-    def run(self, sequence: Iterable, max_frames: Optional[int] = None):
-        """Run the pipeline over the sequence; returns list[FrameResult]."""
+    def run(
+        self,
+        sequence: Iterable,
+        max_frames: Optional[int] = None,
+        initial_state=None,
+    ):
+        """Run the pipeline over the sequence; returns list[FrameResult].
+
+        ``initial_state``: resume from a PipelineState snapshot
+        (restore_state) instead of a fresh state — deterministic resume on
+        recorded sequences (SURVEY.md §5 checkpoint/resume gap; the
+        reference keeps all of this state in process memory and cannot
+        resume). The final state of every run is kept in ``final_state``
+        for ``save_state``.
+        """
         import jax
         import jax.numpy as jnp
 
         from ..pipeline import PipelineState, detect_step
 
-        state = PipelineState.create(self.config)
+        state = (
+            initial_state
+            if initial_state is not None
+            else PipelineState.create(self.config)
+        )
+        self.final_state = state
         self._done_feeding = False
         stop = threading.Event()
         feeder = threading.Thread(
@@ -96,9 +114,11 @@ class PipelineRunner:
 
         results: list[FrameResult] = []
         pending = None  # (index, t, FrameOutput) one frame behind
-        k = 0
+        # Frame numbering (and export filenames) continue across a resume.
+        k0 = int(np.asarray(state.frame_index))
+        k = k0
         try:
-            while max_frames is None or k < max_frames:
+            while max_frames is None or k < k0 + max_frames:
                 with self.timer.stage("ring_pop"):
                     frame = self.ring.pop(timeout=2.0)
                 if frame is None:
@@ -126,7 +146,24 @@ class PipelineRunner:
                 results.append(self._harvest(*pending))
         finally:
             stop.set()
+        self.final_state = state
         return results
+
+    def save_state(self, path: str) -> None:
+        """Snapshot the state left by the last run() (orbax)."""
+        from ..utils.checkpoint import save_pipeline_state
+
+        save_pipeline_state(path, self.final_state)
+
+    def restore_state(self, path: str):
+        """Load a snapshot produced by save_state; pass to run(...,
+        initial_state=...)."""
+        from ..pipeline import PipelineState
+        from ..utils.checkpoint import restore_pipeline_state
+
+        return restore_pipeline_state(
+            path, PipelineState.create(self.config)
+        )
 
     def _harvest(self, index: int, t: float, out) -> FrameResult:
         with self.timer.stage("harvest"):

@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "if present, 'none' forces random init")
     p.add_argument("--report", action="store_true",
                    help="print per-stage timing report")
+    p.add_argument("--save-state", default=None,
+                   help="orbax dir: snapshot the pipeline state after the "
+                        "run (pose, previous frame, tracker bank) for "
+                        "deterministic resume")
+    p.add_argument("--resume-state", default=None,
+                   help="orbax dir: resume from a --save-state snapshot")
     return p
 
 
@@ -145,7 +151,14 @@ def main(argv=None) -> int:
         config, stereo, params, model,
         export_dir=args.export_dir, export_every=args.export_every,
     )
-    results = runner.run(seq, max_frames=args.frames)
+    initial_state = (
+        runner.restore_state(args.resume_state) if args.resume_state else None
+    )
+    results = runner.run(
+        seq, max_frames=args.frames, initial_state=initial_state
+    )
+    if args.save_state:
+        runner.save_state(args.save_state)
 
     for r in results:
         print(

@@ -282,3 +282,76 @@ def test_npz_checkpoint_roundtrip(tmp_path):
         np.asarray(back["params"]["conv"]["kernel"]), 0.25
     )
     assert back["params"]["conv"]["kernel"].dtype == np.float32
+
+
+def test_runner_state_snapshot_resume(tmp_path):
+    """Deterministic resume (SURVEY.md §5 checkpoint/resume): run 6 frames
+    straight vs 3 frames + snapshot + restore + 3 frames — the resumed run
+    must reproduce the uninterrupted results exactly."""
+    from moving_object_detector_tpu.config import (
+        ClustererConfig,
+        EgoMotionConfig,
+        PipelineConfig,
+        SGMConfig,
+        TrackerConfig,
+        FlowNetConfig,
+    )
+    from moving_object_detector_tpu.io.runner import PipelineRunner
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet,
+        init_pwc_params,
+    )
+    from moving_object_detector_tpu.types import StereoModel
+
+    h, w = 32, 64
+    config = PipelineConfig(
+        height=h, width=w,
+        clusterer=ClustererConfig(cluster_size=20, max_objects=2,
+                                  neighbor_distance=2),
+        tracker=TrackerConfig(max_tracks=4),
+        sgm=SGMConfig(max_disparity=8),
+        egomotion=EgoMotionConfig(
+            max_features=64, nms_radius=2, ransac_hypotheses=8,
+            lk_pyramid_levels=1, min_inliers=4,
+        ),
+        flownet=FlowNetConfig(feature_channels=(8, 16, 32), search_range=2,
+                              use_context_net=False, dtype="float32"),
+    )
+    stereo = StereoModel.create(fx=50.0, fy=50.0, cx=w / 2, cy=h / 2,
+                                baseline=0.5)
+    model = PWCNet(config=config.flownet)
+    params = init_pwc_params(model, h, w)
+
+    def seq(start, count):
+        full = readers.SyntheticStereoSequence(
+            height=h, width=w, fx=50.0, baseline=0.5, z_bg=8.0, z_obj=4.0,
+            obj_size=(12, 16), obj_speed_px=3.0, n_frames=6,
+        )
+        frames = [full.frame(k) for k in range(start, start + count)]
+        return [(l, r, t) for l, r, t, _ in frames]
+
+    runner = PipelineRunner(config, stereo, params, model)
+    straight = runner.run(seq(0, 6))
+    assert len(straight) == 6
+
+    r1 = PipelineRunner(config, stereo, params, model)
+    r1.run(seq(0, 3))
+    snap = str(tmp_path / "pipe_state")
+    r1.save_state(snap)
+
+    r2 = PipelineRunner(config, stereo, params, model)
+    resumed = r2.run(seq(3, 3), initial_state=r2.restore_state(snap))
+    assert [r.index for r in resumed] == [3, 4, 5]
+    for a, b in zip(straight[3:], resumed):
+        assert a.frame_valid == b.frame_valid
+        assert a.n_detections == b.n_detections
+        assert a.n_tracks == b.n_tracks
+        np.testing.assert_array_equal(
+            a.detections["center"], b.detections["center"]
+        )
+        np.testing.assert_array_equal(
+            a.tracks["center"], b.tracks["center"]
+        )
+        np.testing.assert_array_equal(
+            a.tracks["velocity"], b.tracks["velocity"]
+        )
