@@ -48,7 +48,7 @@ def _roll2d(x, dv, du):
 
 
 def _cc_kernel(
-    dyn_ref, z_ref, dd_ref, off_ref, label_ref,
+    dyn_ref, z_ref, dd_ref, off_ref, label_ref, iters_ref,
     *, h, w, hp, wp, dv_groups, max_iters,
 ):
     # Mosaic only rotates 32-bit vectors: anything rolled (dyn, adjacency,
@@ -210,15 +210,20 @@ def _cc_kernel(
         new = propagate(sweep(label))
         return new, jnp.any(new != label), it + 1
 
-    label, _, _ = jax.lax.while_loop(
+    label, _, n_iters = jax.lax.while_loop(
         cond, body, (init, jnp.bool_(True), jnp.int32(0))
     )
     label_ref[...] = label
+    # Convergence observability (profiling: how many sweep+propagate
+    # rounds busy frames actually need vs max_iters).
+    iters_ref[0] = n_iters
 
 
 @partial(
     jax.jit,
-    static_argnames=("neighbor_distance", "max_iters", "interpret"),
+    static_argnames=(
+        "neighbor_distance", "max_iters", "interpret", "return_iters",
+    ),
 )
 def connected_components_pallas(
     dynamic: jnp.ndarray,
@@ -227,9 +232,14 @@ def connected_components_pallas(
     neighbor_distance: int = 4,
     max_iters: int = 64,
     interpret: bool = False,
+    return_iters: bool = False,
 ) -> jnp.ndarray:
     """Drop-in for ops.clustering.connected_components on TPU (whole image
-    resident in VMEM; fits comfortably up to ~1000x2600)."""
+    resident in VMEM; fits comfortably up to ~1000x2600).
+
+    ``return_iters=True`` additionally returns the number of
+    sweep+propagate rounds the fixpoint took (scalar int32), for
+    convergence profiling against ``max_iters``."""
     h, w = dynamic.shape
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
@@ -254,7 +264,7 @@ def connected_components_pallas(
         i = j
     dv_groups = tuple(dv_groups)
 
-    out = pl.pallas_call(
+    out, iters = pl.pallas_call(
         partial(
             _cc_kernel, h=h, w=w, hp=hp, wp=wp,
             dv_groups=dv_groups, max_iters=max_iters,
@@ -265,8 +275,14 @@ def connected_components_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
         # Whole-image residency intentionally exceeds the default 16 MB
         # scoped-vmem budget; v5e has 128 MB of physical VMEM.
         compiler_params=pltpu.CompilerParams(
@@ -274,4 +290,6 @@ def connected_components_pallas(
         ),
         interpret=interpret,
     )(dyn, z, dd, offsets)
+    if return_iters:
+        return out[:h, :w], iters[0]
     return out[:h, :w]

@@ -77,6 +77,15 @@ def cc_only(v):
 
 t("CC kernel only", cc_only, cloud.velocity)
 
+# Fixpoint convergence on this busy frame (PLAN_NEXT: is max_iters=64 a
+# gross overbound, and is the per-iteration cost or the count the lever?).
+_dyn0, _ = dyn_of(cloud.velocity)
+_, _n_iters = connected_components_pallas(
+    _dyn0, depth, ddiff, neighbor_distance=cfg.neighbor_distance,
+    max_iters=cfg.max_cc_iters, return_iters=True)
+print(f"{'CC fixpoint iterations (busy frame)':44s} {int(_n_iters):8d}",
+      flush=True)
+
 def through_roots(v):
     dynamic, _ = dyn_of(v)
     labels = connected_components_pallas(

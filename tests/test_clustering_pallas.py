@@ -73,3 +73,16 @@ def test_cc_pallas_window_jumps_gaps():
     o = np.asarray(out)
     assert o[10, 10] == o[10, 25]
     assert o[10, 10] != o[10, 45]
+
+
+def test_cc_pallas_return_iters():
+    h, w = 40, 150
+    dynamic, depth = _random_scene(jax.random.PRNGKey(0), h, w)
+    labels, iters = connected_components_pallas(
+        dynamic, depth, jnp.float32(0.15), 2, 64, interpret=True,
+        return_iters=True,
+    )
+    ref = connected_components(dynamic, depth, jnp.float32(0.15), 2, 64)
+    np.testing.assert_array_equal(np.asarray(labels), np.asarray(ref))
+    n = int(iters)
+    assert 1 <= n < 64, n
