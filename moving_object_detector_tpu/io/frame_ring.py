@@ -72,12 +72,45 @@ def _load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_double,
         ]
         lib.modt_ring_release.argtypes = [ctypes.c_void_p]
+        try:
+            lib.modt_png_defilter.restype = ctypes.c_int
+            lib.modt_png_defilter.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_size_t,
+                ctypes.c_size_t,
+                ctypes.c_size_t,
+            ]
+        except AttributeError:
+            pass  # prebuilt lib predates the defilter entry point
         _lib = lib
         return _lib
 
 
 def native_available() -> bool:
     return _load_library() is not None
+
+
+def png_defilter(
+    raw: bytes, height: int, stride: int, bpp: int
+) -> Optional[np.ndarray]:
+    """Native PNG scanline reconstruction (readers.read_png hot path):
+    (height*(stride+1)) inflated bytes -> (height, stride) u8, or None if
+    the native runtime is unavailable (caller falls back to Python)."""
+    lib = _load_library()
+    if lib is None or not hasattr(lib, "modt_png_defilter"):
+        return None
+    out = np.empty((height, stride), np.uint8)
+    rc = lib.modt_png_defilter(
+        raw,
+        len(raw),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        height,
+        stride,
+        bpp,
+    )
+    return out if rc == 0 else None
 
 
 class FrameRing:

@@ -94,6 +94,14 @@ def read_png(path: str) -> np.ndarray:
     channels = 3 if colortype == 2 else 1
     bpp = channels * (bitdepth // 8)
     stride = width * bpp
+    # Scanline reconstruction in the native runtime when available: the
+    # Sub/Average/Paeth filters are sequential per pixel, which as Python
+    # loops cost seconds per libpng-encoded KITTI frame.
+    from .frame_ring import png_defilter
+
+    native = png_defilter(raw, height, stride, bpp)
+    if native is not None:
+        return _png_to_float(native, height, width, channels, bitdepth)
     out = np.empty((height, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
     pos = 0
@@ -120,11 +128,15 @@ def read_png(path: str) -> np.ndarray:
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pred) & 0xFF
+                line[x] = (int(line[x]) + pred) & 0xFF
         else:
             raise ValueError(f"PNG filter {ftype} unsupported")
         out[y] = line
         prev = line
+    return _png_to_float(out, height, width, channels, bitdepth)
+
+
+def _png_to_float(out, height, width, channels, bitdepth):
     if bitdepth == 16:
         img = out.reshape(height, width, channels, 2)
         arr = (img[..., 0].astype(np.uint16) << 8) | img[..., 1]

@@ -134,4 +134,66 @@ void modt_ring_release(Ring* r) {
   r->tail.fetch_add(1, std::memory_order_release);
 }
 
+// PNG scanline defilter (data-loader hot path). The reference's image
+// pipeline is native (cv_bridge/OpenCV, scene_flow_constructor.cpp:220-221);
+// here zlib inflate runs at C speed through Python's zlib, but the
+// per-pixel Sub/Average/Paeth reconstruction loops were Python — seconds
+// per libpng-encoded KITTI frame. `raw` is the inflated IDAT stream
+// (height * (1 + stride) bytes: filter byte + scanline); `out` receives
+// height*stride reconstructed bytes. Returns 0, or -1 on short input /
+// unknown filter type.
+int modt_png_defilter(const uint8_t* raw, size_t raw_len, uint8_t* out,
+                      size_t height, size_t stride, size_t bpp) {
+  if (raw_len < height * (stride + 1) || bpp == 0) return -1;
+  const uint8_t* prev = nullptr;
+  for (size_t y = 0; y < height; ++y) {
+    const uint8_t* in = raw + y * (stride + 1);
+    uint8_t ftype = in[0];
+    ++in;
+    uint8_t* line = out + y * stride;
+    switch (ftype) {
+      case 0:
+        std::memcpy(line, in, stride);
+        break;
+      case 1:  // Sub
+        for (size_t x = 0; x < bpp; ++x) line[x] = in[x];
+        for (size_t x = bpp; x < stride; ++x)
+          line[x] = uint8_t(in[x] + line[x - bpp]);
+        break;
+      case 2:  // Up
+        if (prev) {
+          for (size_t x = 0; x < stride; ++x)
+            line[x] = uint8_t(in[x] + prev[x]);
+        } else {
+          std::memcpy(line, in, stride);
+        }
+        break;
+      case 3:  // Average
+        for (size_t x = 0; x < stride; ++x) {
+          unsigned left = x >= bpp ? line[x - bpp] : 0;
+          unsigned up = prev ? prev[x] : 0;
+          line[x] = uint8_t(in[x] + ((left + up) >> 1));
+        }
+        break;
+      case 4:  // Paeth
+        for (size_t x = 0; x < stride; ++x) {
+          int a = x >= bpp ? line[x - bpp] : 0;
+          int b = prev ? prev[x] : 0;
+          int c = (prev && x >= bpp) ? prev[x - bpp] : 0;
+          int p = a + b - c;
+          int pa = p > a ? p - a : a - p;
+          int pb = p > b ? p - b : b - p;
+          int pc = p > c ? p - c : c - p;
+          int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          line[x] = uint8_t(in[x] + pred);
+        }
+        break;
+      default:
+        return -1;
+    }
+    prev = line;
+  }
+  return 0;
+}
+
 }  // extern "C"

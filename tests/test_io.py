@@ -355,3 +355,66 @@ def test_runner_state_snapshot_resume(tmp_path):
         np.testing.assert_array_equal(
             a.tracks["velocity"], b.tracks["velocity"]
         )
+
+
+def _write_png_filtered(path, arr, filters):
+    """PNG writer exercising all scanline filters (forward-filtering in
+    numpy); `filters[y]` is the filter type of row y."""
+    h, w = arr.shape
+    bpp = 1
+    raw = bytearray()
+    prev = np.zeros(w, np.int32)
+    for y in range(h):
+        line = arr[y].astype(np.int32)
+        f = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = line - pred
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    with open(path, "wb") as fo:
+        fo.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                 + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                 + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_png_all_filters_roundtrip(tmp_path, monkeypatch, use_native):
+    """Sub/Up/Average/Paeth scanlines decode exactly, via the native
+    defilter and the Python fallback alike."""
+    if use_native and not native_available():
+        pytest.skip("native runtime unavailable")
+    if not use_native:
+        monkeypatch.setattr(
+            readers, "read_png", readers.read_png.__wrapped__
+            if hasattr(readers.read_png, "__wrapped__") else readers.read_png
+        )
+        from moving_object_detector_tpu.io import frame_ring
+        monkeypatch.setattr(
+            frame_ring, "png_defilter", lambda *a, **k: None
+        )
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 23)).astype(np.uint8)
+    p = tmp_path / "filt.png"
+    _write_png_filtered(str(p), img, filters=[4, 1, 2, 3, 0])
+    out = readers.read_png(str(p))
+    np.testing.assert_allclose(out, img / 255.0, atol=1e-6)
