@@ -187,6 +187,13 @@ class PipelineRunner:
                     "center": np.asarray(trk.center)[trk_valid],
                     "velocity": np.asarray(trk.velocity)[trk_valid],
                     "bounding_box": np.asarray(trk.bounding_box)[trk_valid],
+                    # 4x4 KF covariance per published track, the
+                    # ~trackers_covariance topic analog
+                    # (TrackerCovariance.msg, moving_objects_tracker.cpp:
+                    # 105-133).
+                    "covariance": np.asarray(out.tracked.covariance)[
+                        trk_valid
+                    ],
                 },
                 ego_success=bool(out.ego_success),
                 frame_valid=bool(out.frame_valid),

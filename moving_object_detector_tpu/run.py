@@ -187,11 +187,15 @@ def main(argv=None) -> int:
                             "id": int(i),
                             "center": c.tolist(),
                             "velocity": v.tolist(),
+                            # column-major float64[16], matching
+                            # TrackerCovariance.msg
+                            "covariance": cv.T.reshape(-1).tolist(),
                         }
-                        for i, c, v in zip(
+                        for i, c, v, cv in zip(
                             r.tracks["id"],
                             r.tracks["center"],
                             r.tracks["velocity"],
+                            r.tracks["covariance"],
                         )
                     ],
                 }
