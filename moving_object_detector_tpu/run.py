@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "if present, 'none' forces random init")
     p.add_argument("--report", action="store_true",
                    help="print per-stage timing report")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler trace of the run into this "
+                        "directory (view with tensorboard/xprof)")
     p.add_argument("--save-state", default=None,
                    help="orbax dir: snapshot the pipeline state after the "
                         "run (pose, previous frame, tracker bank) for "
@@ -154,9 +157,12 @@ def main(argv=None) -> int:
     initial_state = (
         runner.restore_state(args.resume_state) if args.resume_state else None
     )
-    results = runner.run(
-        seq, max_frames=args.frames, initial_state=initial_state
-    )
+    from .utils.profiling import trace_context
+
+    with trace_context(args.trace_dir):
+        results = runner.run(
+            seq, max_frames=args.frames, initial_state=initial_state
+        )
     if args.save_state:
         runner.save_state(args.save_state)
 
