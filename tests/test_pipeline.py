@@ -238,3 +238,112 @@ def test_flow_input_scale_halves_resolution_path():
     assert out.shape == (h, w, 2)
     # Identical images -> (near-)zero flow at any scale.
     assert float(jnp.mean(jnp.abs(out))) < 0.5
+
+
+# --- Moving camera: the reference's core competence is ego-motion
+# compensation (construct(), scene_flow_constructor.cpp:91-147) — the
+# static-camera tests above never exercise it end-to-end. Camera translates
+# laterally at TX m/frame; background content shifts per strip by
+# s(Z) = fx*TX/Z px/frame (parallax: 2/1/3/4 px for the four depth strips),
+# rolled WITHIN each strip so column depth stays exact. The object keeps its
+# physical SHIFT px/frame motion, appearing at SHIFT - fx*TX/Z_OBJ px/frame.
+TX = 0.16  # m/frame lateral camera translation -> strip shifts 2,1,3,4 px
+S_OBJ = int(round(FX * TX / Z_OBJ))  # camera-induced object shift: 4 px
+A_OBJ = SHIFT - S_OBJ  # apparent object shift: 1 px/frame
+MOBJ_X0 = 33  # object starts inside strip 1
+
+
+def _strip_shift(d):
+    z = FX * BASE / d
+    s = FX * TX / z
+    assert abs(s - round(s)) < 1e-6
+    return int(round(s))
+
+
+def make_frame_moving(bg, obj_tex, k):
+    """Frame k under lateral camera motion: each strip rolled left by
+    k*s(Z) within itself, object drawn at its apparent position."""
+    bgk = np.concatenate(
+        [
+            np.roll(bg[:, x0:x1], -_strip_shift(d) * k, axis=1)
+            for x0, x1, d in BG_STRIPS
+        ],
+        axis=1,
+    )
+    obj_x = MOBJ_X0 + A_OBJ * k
+    left = bgk.copy()
+    left[OBJ_Y : OBJ_Y + OBJ_H, obj_x : obj_x + OBJ_W] = obj_tex
+    right = np.concatenate(
+        [np.roll(bgk, -d, axis=1)[:, x0:x1] for x0, x1, d in BG_STRIPS],
+        axis=1,
+    )
+    rx = obj_x - D_OBJ
+    right[OBJ_Y : OBJ_Y + OBJ_H, rx : rx + OBJ_W] = obj_tex
+    return left, right, obj_x
+
+
+def true_flow_moving(obj_x_now, first):
+    """Now-indexed ground-truth flow: -s(Z) per background strip (content
+    moves left as the camera moves +x), apparent A_OBJ inside the object."""
+    f = np.zeros((H, W, 2), np.float32)
+    if first:
+        return f
+    for x0, x1, d in BG_STRIPS:
+        f[:, x0:x1, 0] = -_strip_shift(d)
+    f[OBJ_Y : OBJ_Y + OBJ_H, obj_x_now : obj_x_now + OBJ_W, 0] = A_OBJ
+    return f
+
+
+def test_end_to_end_moving_camera():
+    rng = np.random.default_rng(11)
+    bg = blocky(rng, H, W)
+    obj_tex = noisy(rng, OBJ_H, OBJ_W)
+    state = PipelineState.create(CONFIG)
+    outputs = []
+    for k in range(5):
+        left, right, obj_x = make_frame_moving(bg, obj_tex, k)
+        flow = true_flow_moving(obj_x, first=(k == 0))
+        state, out = detect_step(
+            None,
+            state,
+            jnp.asarray(left),
+            jnp.asarray(right),
+            jnp.float32(k * DT),
+            STEREO,
+            CONFIG,
+            flow_override=jnp.asarray(flow),
+        )
+        outputs.append(out)
+
+    for k in range(1, 5):
+        out = outputs[k]
+        assert bool(out.frame_valid), f"frame {k} invalid"
+        # Per-frame ego-motion: p_now = M @ p_prev with the camera moving
+        # +x, so M carries -TX in x and ~0 rotation.
+        m = np.asarray(out.motion)
+        np.testing.assert_allclose(m[:3, :3], np.eye(3), atol=0.01)
+        assert abs(m[0, 3] + TX) < 0.03, f"frame {k} tx {m[0, 3]}"
+        assert abs(m[1, 3]) < 0.02 and abs(m[2, 3]) < 0.04, m[:3, 3]
+        # Exactly the one moving object despite every background pixel
+        # having nonzero optical flow (the compensation is doing the work).
+        valid = np.asarray(out.detections.valid)
+        assert valid.sum() == 1, f"frame {k}: {valid.sum()} detections"
+        i = valid.argmax()
+        vel = np.asarray(out.detections.velocity)[i]
+        center = np.asarray(out.detections.center)[i]
+        assert abs(vel[0] - V_TRUE) < 0.5, f"frame {k} vx {vel[0]}"
+        assert abs(center[2] - Z_OBJ) < 0.5, f"frame {k} z {center[2]}"
+
+    # Integrated odometry: +TX per frame in odom x (integrateAndBroadcastTF
+    # analog).
+    pose = np.asarray(outputs[-1].odom_pose)
+    np.testing.assert_allclose(pose[:3, :3], np.eye(3), atol=0.02)
+    assert abs(pose[0, 3] - 4 * TX) < 0.1, pose[:3, 3]
+
+    # Tracking survives the moving camera (detections are transformed to
+    # the odom frame before association).
+    tracked = outputs[-1].tracked.objects
+    tvalid = np.asarray(tracked.valid)
+    assert tvalid.sum() == 1
+    tvel = np.asarray(tracked.velocity)[tvalid.argmax()]
+    assert abs(tvel[0] - V_TRUE) < 0.5
