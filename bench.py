@@ -230,7 +230,9 @@ def main(argv=None):
     print(f"# compile+first {n1} frames: {time.time() - t0:.1f}s",
           file=sys.stderr)
     per_frame = (run(n2) - run(n1)) / (n2 - n1)
-    pairs_per_sec = n_streams / per_frame
+    # Per-CHIP throughput: N streams over N*K devices aggregate
+    # n_streams/per_frame pairs/s on n_streams*n_spatial chips.
+    pairs_per_sec = n_streams / per_frame / n_spatial
 
     baseline = 200.0  # north-star target, BASELINE.json
     metric = "kitti_stereo_pairs_per_sec_per_chip_end_to_end"

@@ -113,13 +113,15 @@ def read_png(path: str) -> np.ndarray:
             pass
         elif ftype == 1:  # Sub
             for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) & 0xFF
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
         elif ftype == 2:  # Up
             line = (line + prev) & 0xFF
         elif ftype == 3:  # Average
             for x in range(stride):
                 left = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + ((int(left) + int(prev[x])) >> 1)) & 0xFF
+                line[x] = (
+                    int(line[x]) + ((int(left) + int(prev[x])) >> 1)
+                ) & 0xFF
         elif ftype == 4:  # Paeth
             for x in range(stride):
                 a = int(line[x - bpp]) if x >= bpp else 0

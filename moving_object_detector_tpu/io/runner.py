@@ -146,7 +146,9 @@ class PipelineRunner:
                 results.append(self._harvest(*pending))
         finally:
             stop.set()
-        self.final_state = state
+            # Inside finally: a crash/interrupt mid-run must still leave
+            # the progress made so far snapshottable via save_state.
+            self.final_state = state
         return results
 
     def save_state(self, path: str) -> None:

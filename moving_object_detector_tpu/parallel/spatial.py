@@ -183,8 +183,9 @@ def detect_step_streams_spatial(
     The whole step is ONE shard_map (fully manual SPMD — no GSPMD pass
     ever sees the Pallas calls, which have no partitioning rules): images
     arrive replicated along ``row_axis``, each device slices its own
-    stripe + halo locally (clamped into the image, so boundary stripes get
-    extra real context instead of edge padding), computes its stripe of
+    stripe + halo locally (edge-replication padded at the image boundary,
+    the same boundary semantics as the single-stream kernels above),
+    computes its stripe of
     SGM + flow, and ONE tiled all_gather per product over ICI reassembles
     the full-height fields; the light remainder of the frame program
     (scene flow, clusterer, tracker) then runs replicated within each

@@ -97,10 +97,26 @@ def main(argv=None) -> int:
         baseline=args.baseline,
     )
 
+    # Restore before building the source: a resumed run must know how many
+    # frames the snapshot already consumed (the sources restart at frame 0).
+    initial_state = None
+    done = 0
+    if args.resume_state:
+        import numpy as _np
+
+        from .pipeline import PipelineState
+        from .utils.checkpoint import restore_pipeline_state
+
+        initial_state = restore_pipeline_state(
+            args.resume_state, PipelineState.create(config)
+        )
+        done = int(_np.asarray(initial_state.frame_index))
+
     if args.source == "synthetic":
         seq = readers.SyntheticStereoSequence(
             height=args.height, width=args.width, fx=args.fx,
-            baseline=args.baseline, fps=args.fps, n_frames=args.frames,
+            baseline=args.baseline, fps=args.fps,
+            n_frames=args.frames + done,
         )
     elif args.source == "kitti":
         if not (args.left_dir and args.right_dir):
@@ -154,9 +170,20 @@ def main(argv=None) -> int:
         config, stereo, params, model,
         export_dir=args.export_dir, export_every=args.export_every,
     )
-    initial_state = (
-        runner.restore_state(args.resume_state) if args.resume_state else None
-    )
+    if done > 0:
+        # The file/synthetic sources restart from their first frame; fast
+        # -forward past the frames the snapshot already processed so the
+        # sequence (and its timestamps) continue where the snapshot left
+        # off. Without this, the restarted t=0 makes dt clamp to 1e-3 s
+        # and the first resumed frame's velocities explode ~100x.
+        def _skipped(base_seq, n):
+            for j, frame in enumerate(base_seq):
+                if j >= n:
+                    yield frame
+
+        print(f"# resume: skipping {done} already-processed frames",
+              file=sys.stderr)
+        seq = _skipped(seq, done)
     from .utils.profiling import trace_context
 
     with trace_context(args.trace_dir):

@@ -404,10 +404,6 @@ def test_png_all_filters_roundtrip(tmp_path, monkeypatch, use_native):
     if use_native and not native_available():
         pytest.skip("native runtime unavailable")
     if not use_native:
-        monkeypatch.setattr(
-            readers, "read_png", readers.read_png.__wrapped__
-            if hasattr(readers.read_png, "__wrapped__") else readers.read_png
-        )
         from moving_object_detector_tpu.io import frame_ring
         monkeypatch.setattr(
             frame_ring, "png_defilter", lambda *a, **k: None
