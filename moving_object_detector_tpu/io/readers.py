@@ -185,11 +185,42 @@ class ImageSequence:
     right_dir: str
     fps: float = 10.0
 
+    def _timestamps(self) -> list[float] | None:
+        """KITTI raw timestamps.txt next to the data dir (image_02/data ->
+        image_02/timestamps.txt): ISO datetimes with nanoseconds, returned
+        as seconds since the first frame."""
+        for base in (os.path.dirname(self.left_dir.rstrip("/")),
+                     self.left_dir):
+            path = os.path.join(base, "timestamps.txt")
+            if not os.path.exists(path):
+                continue
+            import datetime
+
+            stamps = []
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    # datetime.fromisoformat handles only microseconds:
+                    # trim the nanosecond digits.
+                    head, frac = line.split(".")
+                    dt = datetime.datetime.fromisoformat(
+                        f"{head}.{frac[:6]}"
+                    )
+                    stamps.append(dt.timestamp())
+            if stamps:
+                t0 = stamps[0]
+                return [t - t0 for t in stamps]
+        return None
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
         lefts = sorted(glob.glob(os.path.join(self.left_dir, "*")))
         rights = sorted(glob.glob(os.path.join(self.right_dir, "*")))
+        stamps = self._timestamps()
         for i, (lp, rp) in enumerate(zip(lefts, rights)):
-            yield read_image(lp), read_image(rp), i / self.fps
+            t = stamps[i] if stamps and i < len(stamps) else i / self.fps
+            yield read_image(lp), read_image(rp), t
 
 
 @dataclasses.dataclass

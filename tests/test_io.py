@@ -414,3 +414,36 @@ def test_png_all_filters_roundtrip(tmp_path, monkeypatch, use_native):
     _write_png_filtered(str(p), img, filters=[4, 1, 2, 3, 0])
     out = readers.read_png(str(p))
     np.testing.assert_allclose(out, img / 255.0, atol=1e-6)
+
+
+def test_image_sequence_kitti_layout(tmp_path):
+    """KITTI raw directory layout: PNG pairs under image_02/data +
+    image_03/data with a timestamps.txt of nanosecond ISO datetimes."""
+    ld = tmp_path / "image_02" / "data"
+    rd = tmp_path / "image_03" / "data"
+    ld.mkdir(parents=True)
+    rd.mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    imgs = []
+    for k in range(3):
+        img = rng.integers(0, 256, (8, 12)).astype(np.uint8)
+        imgs.append(img)
+        write_png(str(ld / f"{k:010d}.png"), img)
+        write_png(str(rd / f"{k:010d}.png"), np.roll(img, -2, axis=1))
+    with open(tmp_path / "image_02" / "timestamps.txt", "w") as f:
+        f.write("2011-09-26 13:02:44.330495616\n")
+        f.write("2011-09-26 13:02:44.434345696\n")
+        f.write("2011-09-26 13:02:44.538178176\n")
+
+    frames = list(readers.ImageSequence(str(ld), str(rd), fps=10.0))
+    assert len(frames) == 3
+    for k, (l, r, t) in enumerate(frames):
+        np.testing.assert_allclose(l, imgs[k] / 255.0, atol=1e-6)
+    assert frames[0][2] == 0.0
+    assert abs(frames[1][2] - 0.10385) < 1e-3
+    assert abs(frames[2][2] - 0.207683) < 1e-3
+
+    # Without timestamps.txt: fixed-rate fallback.
+    os.remove(tmp_path / "image_02" / "timestamps.txt")
+    frames = list(readers.ImageSequence(str(ld), str(rd), fps=10.0))
+    assert abs(frames[2][2] - 0.2) < 1e-9
