@@ -46,6 +46,9 @@ def main(argv=None):
                     help="row-stripe the heavy perception of each stream "
                          "over K chips (needs streams*K devices; "
                          "parallel/spatial.py detect_step_streams_spatial)")
+    ap.add_argument("--flow-input-scale", type=int, default=1,
+                    help="run the flow net at 1/N resolution (serving "
+                         "latency knob, pipeline._flow_forward)")
     args = ap.parse_args(argv)
 
     import jax
@@ -60,7 +63,8 @@ def main(argv=None):
     from moving_object_detector_tpu.types import StereoModel
 
     h, w = 376, 1242
-    config = PipelineConfig(height=h, width=w)
+    config = PipelineConfig(height=h, width=w,
+                            flow_input_scale=args.flow_input_scale)
     stereo = StereoModel.create(
         fx=721.5, fy=721.5, cx=w / 2.0, cy=h / 2.0, baseline=0.54
     )
@@ -242,6 +246,8 @@ def main(argv=None):
         metric += f"_x{n_streams}streams"
     if n_spatial > 1:
         metric += f"_x{n_spatial}spatial"
+    if args.flow_input_scale > 1:
+        metric += f"_flowscale{args.flow_input_scale}"
     print(
         json.dumps(
             {
