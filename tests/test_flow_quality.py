@@ -1,0 +1,64 @@
+"""Flow-weight quality regression: the bundled checkpoint must keep its
+accuracy on a FIXED held-out synthetic batch (train/data_synth.py family,
+seed 0 — the generator the weights were trained on, different draws).
+
+Locks the trained-quality floor the way golden tests lock semantics:
+retraining may improve the number, an accidental architecture or
+checkpoint-format change that silently degrades it fails here. Baseline at
+capture (2026-08-18): mean EPE 3.62 px, zero-flow baseline 9.4 px.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "weights",
+    "pwc_v2.fp16.npz",
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(WEIGHTS), reason="bundled weights not present"
+)
+def test_bundled_weights_epe_floor():
+    from moving_object_detector_tpu.config import PipelineConfig
+    from moving_object_detector_tpu.eval import flow_epe
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet,
+        init_pwc_params_abstract,
+    )
+    from moving_object_detector_tpu.pipeline import _flow_forward
+    from moving_object_detector_tpu.train.data_synth import generate_batch
+    from moving_object_detector_tpu.utils.checkpoint import (
+        restore_flow_params,
+    )
+
+    cfg = PipelineConfig()
+    model = PWCNet(config=cfg.flownet)
+    params = restore_flow_params(
+        WEIGHTS, like=init_pwc_params_abstract(model)
+    )
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    h, w = 192, 448
+    batch = generate_batch(jax.random.PRNGKey(0), 4, h, w)
+    epes, zero_epes = [], []
+    for i in range(4):
+        flow = _flow_forward(
+            params, model, batch["img1"][i, ..., 0], batch["img2"][i, ..., 0]
+        )
+        gt = np.asarray(batch["flow"][i])
+        epes.append(flow_epe(np.asarray(flow), gt)["epe"])
+        zero_epes.append(flow_epe(np.zeros_like(gt), gt)["epe"])
+
+    mean_epe = float(np.mean(epes))
+    zero_epe = float(np.mean(zero_epes))
+    # Regression floor: captured 3.62 px; margin for benign numeric drift.
+    assert mean_epe < 4.5, f"flow quality regressed: EPE {mean_epe:.2f}"
+    # Sanity: the predictions are doing real work vs predict-zero.
+    assert mean_epe < 0.5 * zero_epe, (mean_epe, zero_epe)
