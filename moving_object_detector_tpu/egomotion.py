@@ -79,6 +79,7 @@ def select_features(
     img: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: EgoMotionConfig,
+    border: int | None = None,
 ):
     """Bucketed top-K Harris corners with NMS.
 
@@ -87,12 +88,18 @@ def select_features(
     the feature set and hijack the RANSAC consensus; the static background,
     covering most buckets, outvotes it.
 
+    ``border``: exclusion margin in px; defaults to the LK patch reach
+    (the widest pyramid level's window). Dense-flow callers pass a small
+    margin instead — they never run LK, and the periphery carries the
+    parallax that best constrains translation.
+
     Returns ((K, 2) f32 (u, v) positions, (K,) bool validity).
     """
     h, w = img.shape
     scores = harris_response(img)
     keep = _nms(scores, cfg.nms_radius) & valid & (scores > 0)
-    border = cfg.lk_window * (2 ** (cfg.lk_pyramid_levels - 1)) + 2
+    if border is None:
+        border = cfg.lk_window * (2 ** (cfg.lk_pyramid_levels - 1)) + 2
     u, v = geometry.pixel_grid(h, w)
     inside = (
         (u >= border) & (u < w - border) & (v >= border) & (v < h - border)
@@ -323,18 +330,27 @@ def estimate_motion(
     the frame's velocities as unavailable.
 
     Correspondences come from pyramidal LK tracking (self-contained mode,
-    viso2-like), or — when ``dense_flow`` (H, W, 2, now-frame indexed, i.e.
-    prev = now - flow) is provided — from sampling that field at the feature
-    positions. The dense mode is what the fused pipeline uses: the PWC flow
-    is already computed for the scene-flow stage, and per-feature LK's
-    scattered patch gathers are the slowest part of this module on TPU.
+    viso2-like), or — when ``dense_flow`` (H, W, 2) is provided — from one
+    bilinear sample of that field at each feature position. The flow field
+    is PREV-frame indexed: now = prev + flow(prev), the PWC training
+    convention (train/data_synth.py ground truth; flow_ops.warp contract),
+    so a prev feature's correspondence is a direct lookup. The dense mode
+    is what the fused pipeline uses: the PWC flow is already computed for
+    the scene-flow stage, and per-feature LK's scattered patch gathers are
+    the slowest part of this module on TPU.
 
     Returns (motion 4x4 f32, success bool, inlier_count int32).
     """
-    # 1. Features on the previous frame where the previous disparity is valid.
+    # 1. Features on the previous frame where the previous disparity is
+    # valid. Dense-flow mode needs only a bilinear-sampling margin, not the
+    # 30 px LK patch reach (~15-20% of a KITTI frame, and the periphery is
+    # where forward-motion parallax constrains translation most).
     depth_prev = geometry.disparity_to_depth(disparity_prev)
     pts, feat_valid = select_features(
-        prev_left, jnp.isfinite(depth_prev), cfg
+        prev_left,
+        jnp.isfinite(depth_prev),
+        cfg,
+        border=2 if dense_flow is not None else None,
     )
 
     # 2. 3D lift at feature pixels (nearest-pixel disparity, like viso2).
@@ -349,22 +365,17 @@ def estimate_motion(
 
     # 3. Track into the current frame.
     if dense_flow is not None:
-        # The flow field is now-frame indexed (prev = now - flow); invert it
-        # per feature by fixed-point iteration x <- p_prev + flow(x), which
-        # converges in a few steps for smooth flow.
+        # Prev-indexed field: the correspondence is flow AT the feature.
+        # (An earlier revision treated the field as now-indexed and ran a
+        # fixed-point inversion — solving the wrong equation overshoots by
+        # ~grad(flow)*flow near motion/depth boundaries, at the scale of
+        # inlier_threshold_px.)
         h, w = prev_left.shape
-        x = pts
-        for _ in range(3):
-            f = geometry.bilinear_sample(dense_flow, x)
-            x = pts + f
-        tracked = x
-        f_final = geometry.bilinear_sample(dense_flow, tracked)
-        residual = tracked - (pts + f_final)
-        consistent = jnp.linalg.norm(residual, axis=-1) < 0.5
-        flow_finite = jnp.isfinite(f_final).all(axis=-1)
+        f = geometry.bilinear_sample(dense_flow, pts)
+        tracked = pts + f
+        flow_finite = jnp.isfinite(f).all(axis=-1)
         track_ok = (
-            consistent
-            & flow_finite
+            flow_finite
             & (tracked[:, 0] >= 0)
             & (tracked[:, 0] <= w - 1)
             & (tracked[:, 1] >= 0)

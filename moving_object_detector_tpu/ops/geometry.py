@@ -61,10 +61,14 @@ def disparity_to_points(disp: DisparityImage, cam: CameraModel) -> jnp.ndarray:
 
 def project_points(points: jnp.ndarray, cam: CameraModel) -> jnp.ndarray:
     """project3dToPixel (scene_flow_constructor.cpp:84): (..., 3) -> (..., 2)
-    pixel coords (u, v). Propagates NaN; z <= 0 projects to NaN (behind
-    camera — the reference never produces those from valid disparity)."""
+    pixel coords (u, v). Propagates NaN; z <= 0 projects to NaN. Valid
+    disparity never back-projects behind the camera, but the main caller
+    (static_optical_flow) projects ego-motion-TRANSFORMED previous points,
+    which can legitimately cross the z = 0 plane when the camera drives
+    past close structure — a finite mirrored (u, v) there would corrupt
+    the dynamic/static test instead of invalidating the pixel."""
     x, y, z = points[..., 0], points[..., 1], points[..., 2]
-    safe_z = jnp.where(z == 0.0, jnp.nan, z)
+    safe_z = jnp.where(z <= 0.0, jnp.nan, z)
     u = cam.fx * x / safe_z + cam.cx
     v = cam.fy * y / safe_z + cam.cy
     return jnp.stack([u, v], axis=-1)

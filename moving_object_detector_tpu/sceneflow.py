@@ -104,12 +104,7 @@ def construct_scene_flow(
     # gather needed (a gather at identity indices still lowers to a ~3 ms
     # serialized gather on TPU).
     d_now = disparity_now.disparity
-    right_now_ok = (
-        jnp.isfinite(d_now)
-        & (d_now >= disparity_now.min_disparity)
-        & (d_now <= disparity_now.max_disparity)
-        & (d_now >= 0.0)
-    )
+    right_now_ok = disparity_now.valid_mask() & (d_now >= 0.0)
 
     # ONE gather of the previous disparity at the matched pixel covers both
     # the right-previous validity gate and the previous 3D point: the point
@@ -128,6 +123,8 @@ def construct_scene_flow(
     if backend in ("pallas", "pallas_interpret"):
         from .ops.gather_pallas import window_gather_pallas
 
+        # The kernel returns NaN for every out-of-image index, which the
+        # isfinite gate below subsumes — no separate bounds mask needed.
         d_prev = window_gather_pallas(
             disparity_previous.disparity,
             vp,
@@ -136,8 +133,7 @@ def construct_scene_flow(
             h_radius=config.match_h_radius,
             interpret=backend == "pallas_interpret",
         )
-        hh, ww = disparity_previous.disparity.shape
-        prev_in_bounds = (up >= 0) & (up < ww) & (vp >= 0) & (vp < hh)
+        prev_in_bounds = True
     else:
         d_prev, prev_in_bounds = geometry.gather_pixels(
             disparity_previous.disparity, up, vp

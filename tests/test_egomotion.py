@@ -146,3 +146,57 @@ def test_harris_finds_corner():
     resp = np.asarray(egomotion.harris_response(jnp.asarray(img)))
     v, u = np.unravel_index(np.argmax(resp), resp.shape)
     assert abs(u - 30) <= 2 and abs(v - 20) <= 2
+
+
+def exact_flow_prev_indexed(rot, t):
+    """Ground-truth PREV-indexed flow of the plane scene: flow(x) =
+    H(x) - x where the homography H maps prev pixels to now pixels —
+    the PWC training convention (train/data_synth.py: now = prev +
+    flow(prev))."""
+    k = k_matrix()
+    n = np.array([0.0, 0.0, 1.0])
+    h_mat = k @ (rot + np.outer(np.asarray(t), n) / Z0) @ np.linalg.inv(k)
+    uu, vv = np.meshgrid(
+        np.arange(W, dtype=np.float64), np.arange(H, dtype=np.float64)
+    )
+    pix = np.stack([uu, vv, np.ones_like(uu)], axis=-1) @ h_mat.T
+    now_px = pix[..., :2] / pix[..., 2:3]
+    flow = now_px - np.stack([uu, vv], axis=-1)
+    return jnp.asarray(flow, jnp.float32)
+
+
+def run_dense_case(rng, rotvec, t):
+    prev = textured(rng)
+    rot = np.asarray(geometry.so3_exp(jnp.asarray(rotvec, jnp.float32)))
+    now = warp_by_motion(prev, rot, np.asarray(t))
+    d = FX * BASELINE / Z0
+    disp = DisparityImage.create(
+        np.full((H, W), d, np.float32), f=FX, t=BASELINE,
+        min_disparity=0.0, max_disparity=128.0,
+    )
+    motion, success, count = egomotion.estimate_motion(
+        jnp.asarray(prev), jnp.asarray(now), disp, CAM,
+        jax.random.PRNGKey(0), CFG,
+        dense_flow=exact_flow_prev_indexed(rot, t),
+    )
+    return np.asarray(motion), bool(success), int(count), rot
+
+
+def test_dense_flow_forward_translation(rng):
+    """The pipeline-default dense path: forward motion gives a radial,
+    strongly non-uniform flow field — exact recovery requires sampling the
+    prev-indexed field at the feature (a now-indexed misread biases it)."""
+    t = [0.0, 0.0, 0.1]
+    motion, success, count, _ = run_dense_case(rng, [0, 0, 0], t)
+    assert success and count >= 20
+    np.testing.assert_allclose(motion[:3, :3], np.eye(3), atol=2e-3)
+    np.testing.assert_allclose(motion[:3, 3], t, atol=0.01)
+
+
+def test_dense_flow_rotation_and_translation(rng):
+    rotvec = [0.004, -0.008, 0.005]
+    t = [0.02, -0.015, 0.04]
+    motion, success, count, rot = run_dense_case(rng, rotvec, t)
+    assert success
+    np.testing.assert_allclose(motion[:3, :3], rot, atol=3e-3)
+    np.testing.assert_allclose(motion[:3, 3], t, atol=0.01)
