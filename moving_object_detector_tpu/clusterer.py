@@ -66,11 +66,9 @@ def cluster_scene_flow(
     dynamic = vnorm >= dynamic_speed
 
     depth = cloud.points[..., 2]
-    backend = config.cc_backend
-    if backend == "auto":
-        backend = (
-            "pallas" if jax.default_backend() not in ("cpu",) else "xla"
-        )
+    from .ops import resolve_auto_backend
+
+    backend = resolve_auto_backend(config.cc_backend)
     if backend in ("pallas", "pallas_interpret"):
         from .ops.clustering_pallas import connected_components_pallas
 

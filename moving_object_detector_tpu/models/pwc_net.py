@@ -34,10 +34,9 @@ def _dtype(cfg: FlowNetConfig):
 
 def _correlation_dispatch(f1, f2, search_range: int, backend: str):
     """Correlation-layer backend dispatch (FlowNetConfig.corr_backend)."""
-    if backend == "auto":
-        backend = (
-            "pallas" if jax.default_backend() not in ("cpu",) else "xla"
-        )
+    from ..ops import resolve_auto_backend
+
+    backend = resolve_auto_backend(backend)
     if backend in ("pallas", "pallas_interpret"):
         from ..ops.flow_corr_pallas import correlation_pallas
 

@@ -252,11 +252,14 @@ def sgm_disparity_raw(
     if window[0] * window[1] - 1 > 32:
         window = (5, 5)
     h, w = left.shape
+    from . import resolve_auto_backend
+
     backend = cfg.backend
     if backend == "auto":
-        on_accelerator = jax.default_backend() not in ("cpu",)
-        use_pallas = on_accelerator and cfg.max_disparity == 128
-        backend = "pallas" if use_pallas else "xla"
+        # Further restricted: the v2 kernels are specialized to D=128.
+        backend = resolve_auto_backend(backend)
+        if backend == "pallas" and cfg.max_disparity != 128:
+            backend = "xla"
 
     if backend in ("pallas", "pallas_interpret"):
         # v2: fused census-input kernels (ops/sgm_pallas2.py) — no cost

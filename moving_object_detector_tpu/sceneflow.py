@@ -115,11 +115,11 @@ def construct_scene_flow(
     # XLA's serialized per-index loop at KITTI res); NaN marks every
     # unmatched pixel in both backends, so the validity chain below is
     # backend-independent.
-    backend = getattr(config, "gather_backend", "xla") if config else "xla"
-    if backend == "auto":
-        import jax
+    from .ops import resolve_auto_backend
 
-        backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+    backend = resolve_auto_backend(
+        getattr(config, "gather_backend", "xla") if config else "xla"
+    )
     if backend in ("pallas", "pallas_interpret"):
         from .ops.gather_pallas import window_gather_pallas
 
