@@ -5,7 +5,8 @@ seed 0 — the generator the weights were trained on, different draws).
 Locks the trained-quality floor the way golden tests lock semantics:
 retraining may improve the number, an accidental architecture or
 checkpoint-format change that silently degrades it fails here. Baseline at
-capture (2026-08-18): mean EPE 3.62 px, zero-flow baseline 9.4 px.
+capture (2026-08-18, after coarse-octave dropout landed in the generator):
+mean EPE 3.56 px, zero-flow baseline ~9 px.
 """
 
 import os
