@@ -92,12 +92,21 @@ def restore_flow_params(path: str, like: Any = None) -> Any:
             leaves.append(arr.astype(np.dtype(leaf.dtype)))
         return jax.tree_util.tree_unflatten(treedef, leaves)
     ocp = _ocp()
+
+    def to_target(leaf):
+        # Abstract leaves (ShapeDtypeStruct) pass straight through —
+        # np.asarray on them makes dtype=object arrays that tensorstore
+        # rejects; orbax StandardCheckpointer accepts abstract targets.
+        if isinstance(leaf, jax.ShapeDtypeStruct):
+            return leaf
+        return np.asarray(leaf)
+
     with ocp.StandardCheckpointer() as ckptr:
         if like is not None:
             target = {"params": like}
             restored = ckptr.restore(
                 os.path.abspath(path),
-                target=jax.tree_util.tree_map(np.asarray, target),
+                target=jax.tree_util.tree_map(to_target, target),
             )
         else:
             restored = ckptr.restore(os.path.abspath(path))

@@ -1,0 +1,73 @@
+"""Score a flow checkpoint on the two measured failure modes (PLAN_NEXT):
+
+1. mean EPE on the fixed held-out synthetic batch (the
+   tests/test_flow_quality.py metric — must stay < 4.5);
+2. spurious flow on a STATIC fine-only-texture scene
+   (io/readers.SyntheticStereoSequence background): median |flow| and the
+   fraction of static pixels over the 5 px dynamic gate (bundled weights:
+   4.06 px / 35.7% — the background-false-positive failure).
+
+Usage: python scripts/eval_flow_ckpt.py <checkpoint> [height width]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from moving_object_detector_tpu.config import PipelineConfig
+from moving_object_detector_tpu.eval import flow_epe
+from moving_object_detector_tpu.io.readers import SyntheticStereoSequence
+from moving_object_detector_tpu.models.pwc_net import (
+    PWCNet,
+    init_pwc_params_abstract,
+)
+from moving_object_detector_tpu.pipeline import _flow_forward
+from moving_object_detector_tpu.train.data_synth import generate_batch
+from moving_object_detector_tpu.utils.checkpoint import restore_flow_params
+
+
+def main():
+    ckpt = sys.argv[1]
+    h = int(sys.argv[2]) if len(sys.argv) > 2 else 192
+    w = int(sys.argv[3]) if len(sys.argv) > 3 else 448
+
+    cfg = PipelineConfig()
+    model = PWCNet(config=cfg.flownet)
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        restore_flow_params(ckpt, like=init_pwc_params_abstract(model)),
+    )
+
+    b = generate_batch(jax.random.PRNGKey(0), 4, h, w)
+    epes = []
+    for i in range(4):
+        fl = _flow_forward(
+            params, model, b["img1"][i, ..., 0], b["img2"][i, ..., 0]
+        )
+        epes.append(flow_epe(np.asarray(fl), np.asarray(b["flow"][i]))["epe"])
+    print(f"fixed-batch EPE: {[round(e, 2) for e in epes]} "
+          f"mean {np.mean(epes):.3f}")
+
+    seq = SyntheticStereoSequence(height=h, width=w, fx=300.0, n_frames=3)
+    l0, _, _, _ = seq.frame(0)
+    l1, _, _, truth = seq.frame(1)
+    fl = np.asarray(
+        _flow_forward(params, model, jnp.asarray(l0), jnp.asarray(l1))
+    )
+    mag = np.linalg.norm(fl, axis=-1)
+    # Exclude the moving-object rectangle: the rest of the frame is static.
+    static = np.ones((h, w), bool)
+    y0, x0, oh, ow = truth["obj_box"]
+    static[max(0, y0 - 8):y0 + oh + 8, max(0, x0 - 16):x0 + ow + 8] = False
+    sm = mag[static]
+    print(f"static-scene spurious flow: median {np.median(sm):.2f} px, "
+          f">5px {(sm > 5).mean() * 100:.1f}% "
+          f"(bundled baseline: 4.06 px / 35.7%)")
+
+
+if __name__ == "__main__":
+    main()
