@@ -147,6 +147,11 @@ class FlowNetConfig:
     pyramid_levels: int = 6
     search_range: int = 4  # correlation max displacement
     feature_channels: Tuple[int, ...] = (16, 32, 64, 96, 128, 196)
+    # Decoder widths. Defaults match the original PWC-Net heads; slim
+    # variants (a retraining experiment, PLAN_NEXT item 2) shrink these.
+    # Changing either invalidates checkpoints.
+    estimator_channels: Tuple[int, ...] = (128, 128, 96, 64, 32)
+    context_channels: Tuple[int, ...] = (128, 128, 128, 96, 64, 32)
     use_context_net: bool = True
     dtype: str = "bfloat16"
     # Correlation-layer backend: "pallas" = fused VMEM kernel

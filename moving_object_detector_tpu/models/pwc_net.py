@@ -18,7 +18,7 @@ behavior), so the hot convolutions run at <= H/4 x W/4.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -92,10 +92,11 @@ class FlowEstimator(nn.Module):
 
     dtype: Any = jnp.bfloat16
     up_channels: int = 16
+    channels: Tuple[int, ...] = (128, 128, 96, 64, 32)
 
     @nn.compact
     def __call__(self, x):
-        for ch in (128, 128, 96, 64, 32):
+        for ch in self.channels:
             y = ConvBlock(ch, dtype=self.dtype)(x)
             x = jnp.concatenate([x, y], axis=-1)
         flow = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32)(
@@ -116,11 +117,13 @@ class ContextNetwork(nn.Module):
 
     dtype: Any = jnp.bfloat16
     dilation_impl: str = "direct"
+    channels: Tuple[int, ...] = (128, 128, 128, 96, 64, 32)
 
     @nn.compact
     def __call__(self, features, flow):
         x = jnp.concatenate([features, flow.astype(self.dtype)], axis=-1)
-        for ch, dil in ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1)):
+        dilations = (1, 2, 4, 8, 16, 1)[: len(self.channels)]
+        for ch, dil in zip(self.channels, dilations):
             s2b = self.dilation_impl == "space_to_batch" and dil > 1
             if s2b:
                 x, hw = flow_ops.space_to_batch(x, dil)
@@ -201,11 +204,15 @@ class PWCNet(nn.Module):
             ).astype(dt)
             corr = nn.leaky_relu(corr, 0.1)
             x = jnp.concatenate([corr, f1] + corr_in, axis=-1)
-            feat, up, res_flow = FlowEstimator(dtype=dt)(x)
+            feat, up, res_flow = FlowEstimator(
+                dtype=dt, channels=cfg.estimator_channels
+            )(x)
             flow = res_flow if flow is None else flow + res_flow
             if lvl == 2 and cfg.use_context_net:
                 flow = ContextNetwork(
-                    dtype=dt, dilation_impl=cfg.context_dilation_impl
+                    dtype=dt,
+                    dilation_impl=cfg.context_dilation_impl,
+                    channels=cfg.context_channels,
                 )(feat, flow)
             flows.append(flow)
             up_feat = up
