@@ -63,3 +63,60 @@ def test_bundled_weights_epe_floor():
     assert mean_epe < 4.5, f"flow quality regressed: EPE {mean_epe:.2f}"
     # Sanity: the predictions are doing real work vs predict-zero.
     assert mean_epe < 0.5 * zero_epe, (mean_epe, zero_epe)
+
+
+def test_default_weights_static_fine_texture():
+    """The DEFAULT bundled weights must not hallucinate flow on a static
+    fine-only-texture scene (failure mode 4a, PLAN_NEXT.md: v2 weights put
+    36% of static pixels over the 5 px dynamic gate on the CLI synthetic
+    background, causing end-to-end phantom detections).
+
+    xfails while the default checkpoint is the known-bad pwc_v2; flips to a
+    hard gate the moment a retrained default lands.
+    """
+    from moving_object_detector_tpu.config import PipelineConfig
+    from moving_object_detector_tpu.io.readers import SyntheticStereoSequence
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet,
+        init_pwc_params_abstract,
+    )
+    from moving_object_detector_tpu.pipeline import _flow_forward
+    from moving_object_detector_tpu.utils.checkpoint import (
+        default_flow_checkpoint,
+        restore_flow_params,
+    )
+
+    ckpt = default_flow_checkpoint()
+    if ckpt is None:
+        pytest.skip("no bundled weights")
+    if "pwc_v2" in os.path.basename(ckpt):
+        pytest.xfail("pwc_v2 weights have the measured fine-texture "
+                     "hallucination; gate activates with the retrained "
+                     "default (scripts/retrain_flow.sh)")
+
+    cfg = PipelineConfig()
+    model = PWCNet(config=cfg.flownet)
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        restore_flow_params(ckpt, like=init_pwc_params_abstract(model)),
+    )
+
+    h, w = 192, 448
+    seq = SyntheticStereoSequence(height=h, width=w, fx=300.0, n_frames=3)
+    l0, _, _, _ = seq.frame(0)
+    l1, _, _, truth = seq.frame(1)
+    flow = np.asarray(
+        _flow_forward(params, model, jnp.asarray(l0), jnp.asarray(l1))
+    )
+    mag = np.linalg.norm(flow, axis=-1)
+    static = np.ones((h, w), bool)
+    y0, x0, oh, ow = truth["obj_box"]
+    static[max(0, y0 - 8):y0 + oh + 8, max(0, x0 - 16):x0 + ow + 8] = False
+    sm = mag[static]
+    frac_over_gate = float((sm > 5.0).mean())
+    median = float(np.median(sm))
+    assert frac_over_gate < 0.05, (
+        f"{frac_over_gate * 100:.1f}% of static pixels over the 5 px "
+        f"dynamic gate (median spurious |flow| {median:.2f} px)"
+    )
+    assert median < 1.5, f"median spurious |flow| {median:.2f} px"
