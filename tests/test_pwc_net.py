@@ -162,3 +162,34 @@ def test_context_dilation_space_to_batch_equivalent():
     out_d = np.asarray(direct.apply(params, feats, flow))
     out_s = np.asarray(s2b.apply(params, feats, flow))
     np.testing.assert_allclose(out_s, out_d, rtol=2e-5, atol=2e-5)
+
+
+def test_decoder_width_knobs():
+    """estimator_channels / context_channels shrink the decoder params
+    without changing output shapes; defaults stay checkpoint-compatible
+    (the bundled-npz restore is exercised by test_flow_quality)."""
+    slim = FlowNetConfig(
+        feature_channels=(8, 16, 32),
+        search_range=2,
+        use_context_net=True,
+        dtype="float32",
+        estimator_channels=(32, 24, 16),
+        context_channels=(32, 32, 16),
+    )
+    wide = FlowNetConfig(
+        feature_channels=(8, 16, 32),
+        search_range=2,
+        use_context_net=True,
+        dtype="float32",
+    )
+    n_params = {}
+    for name, cfg in (("slim", slim), ("wide", wide)):
+        model = PWCNet(config=cfg)
+        params = init_pwc_params(model, 32, 48)
+        x = jnp.zeros((1, 32, 48, 1), jnp.float32)
+        full, _ = model.apply(params, x, x)
+        assert full.shape == (1, 32, 48, 2)
+        n_params[name] = sum(
+            int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)
+        )
+    assert n_params["slim"] < 0.5 * n_params["wide"], n_params
