@@ -167,27 +167,31 @@ def test_context_dilation_space_to_batch_equivalent():
 def test_decoder_width_knobs():
     """estimator_channels / context_channels shrink the decoder params
     without changing output shapes; defaults stay checkpoint-compatible
-    (the bundled-npz restore is exercised by test_flow_quality)."""
-    slim = FlowNetConfig(
-        feature_channels=(8, 16, 32),
-        search_range=2,
-        use_context_net=True,
-        dtype="float32",
-        estimator_channels=(32, 24, 16),
-        context_channels=(32, 32, 16),
+    (the bundled-npz restore is exercised by test_flow_quality).
+
+    Everything here is a static property, so the whole test runs abstractly
+    (eval_shape): no init compute, no forward compute."""
+    import dataclasses
+
+    from moving_object_detector_tpu.models.pwc_net import (
+        init_pwc_params_abstract,
     )
+
     wide = FlowNetConfig(
         feature_channels=(8, 16, 32),
         search_range=2,
         use_context_net=True,
         dtype="float32",
     )
+    slim = dataclasses.replace(
+        wide, estimator_channels=(32, 24, 16), context_channels=(32, 32, 16)
+    )
     n_params = {}
     for name, cfg in (("slim", slim), ("wide", wide)):
         model = PWCNet(config=cfg)
-        params = init_pwc_params(model, 32, 48)
-        x = jnp.zeros((1, 32, 48, 1), jnp.float32)
-        full, _ = model.apply(params, x, x)
+        params = init_pwc_params_abstract(model)
+        x = jax.ShapeDtypeStruct((1, 32, 48, 1), jnp.float32)
+        full, _ = jax.eval_shape(model.apply, params, x, x)
         assert full.shape == (1, 32, 48, 2)
         n_params[name] = sum(
             int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params)
