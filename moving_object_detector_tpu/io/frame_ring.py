@@ -73,6 +73,17 @@ def _load_library() -> Optional[ctypes.CDLL]:
         ]
         lib.modt_ring_release.argtypes = [ctypes.c_void_p]
         try:
+            lib.modt_ring_pop_copy.restype = ctypes.c_int
+            lib.modt_ring_pop_copy.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_double,
+            ]
+        except AttributeError:
+            pass  # prebuilt lib predates the validated-copy entry point
+        try:
             lib.modt_png_defilter.restype = ctypes.c_int
             lib.modt_png_defilter.argtypes = [
                 ctypes.c_char_p,
@@ -132,7 +143,16 @@ class FrameRing:
         self.h, self.w = height, width
         self.frame_floats = 2 * height * width
         self.payload_bytes = self.frame_floats * 4
+        self._drop_oldest = drop_oldest
         self._lib = None if force_python else _load_library()
+        if (
+            self._lib is not None
+            and drop_oldest
+            and not hasattr(self._lib, "modt_ring_pop_copy")
+        ):
+            # Drop-oldest needs the validated-copy pop: the zero-copy
+            # pop/release protocol races the producer's tail advance.
+            self._lib = None
         if self._lib is not None:
             self._ring = self._lib.modt_ring_create(
                 capacity, self.payload_bytes, 1 if drop_oldest else 0
@@ -178,14 +198,32 @@ class FrameRing:
         if self._ring is not None:
             ts = ctypes.c_double()
             seq = ctypes.c_int64()
-            ptr = self._lib.modt_ring_pop(
-                self._ring, ctypes.byref(ts), ctypes.byref(seq), timeout
-            )
-            if not ptr:
-                return None
-            flat = np.ctypeslib.as_array(ptr, shape=(self.payload_bytes,))
-            frames = flat.view(np.float32)[: self.frame_floats].copy()
-            self._lib.modt_ring_release(self._ring)
+            if self._drop_oldest:
+                # Validated copy: the producer may reclaim the oldest slot
+                # mid-read in latest-wins mode, so zero-copy views are
+                # unsafe — the kernel copies and CAS-claims atomically.
+                buf = np.empty(self.payload_bytes, np.uint8)
+                ok = self._lib.modt_ring_pop_copy(
+                    self._ring,
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    ctypes.byref(ts),
+                    ctypes.byref(seq),
+                    timeout,
+                )
+                if not ok:
+                    return None
+                frames = buf.view(np.float32)[: self.frame_floats]
+            else:
+                ptr = self._lib.modt_ring_pop(
+                    self._ring, ctypes.byref(ts), ctypes.byref(seq), timeout
+                )
+                if not ptr:
+                    return None
+                flat = np.ctypeslib.as_array(
+                    ptr, shape=(self.payload_bytes,)
+                )
+                frames = flat.view(np.float32)[: self.frame_floats].copy()
+                self._lib.modt_ring_release(self._ring)
             left = frames[: self.h * self.w].reshape(self.h, self.w)
             right = frames[self.h * self.w :].reshape(self.h, self.w)
             return left, right, float(ts.value)

@@ -44,6 +44,16 @@ class FrameResult:
     frame_valid: bool
 
 
+class _RunToken:
+    """Per-run() feeder handshake: lingering threads from a previous run
+    hold a stale token and cannot affect the current run."""
+
+    def __init__(self):
+        self.stop = threading.Event()
+        self.done = threading.Event()
+        self.error: Optional[BaseException] = None
+
+
 class PipelineRunner:
     """Drives the fused detect_step over a stereo sequence."""
 
@@ -72,12 +82,22 @@ class PipelineRunner:
         if export_dir:
             os.makedirs(export_dir, exist_ok=True)
 
-    def _feeder(self, sequence: Iterable, stop: threading.Event):
-        for left, right, t in sequence:
-            if stop.is_set():
-                break
-            self.ring.push(left, right, t, timeout=30.0)
-        self._done_feeding = True
+    def _feeder(self, sequence: Iterable, token: "_RunToken"):
+        try:
+            for left, right, t in sequence:
+                if token.stop.is_set():
+                    return
+                # Blocking (backpressure) mode: keep retrying in short
+                # slices so a long device compile neither drops the frame
+                # (the old single 30 s push silently gave up) nor wedges
+                # the thread past a stop request.
+                while not token.stop.is_set():
+                    if self.ring.push(left, right, t, timeout=2.0):
+                        break
+        except BaseException as e:  # surface decode errors to run()
+            token.error = e
+        finally:
+            token.done.set()
 
     def run(
         self,
@@ -105,11 +125,22 @@ class PipelineRunner:
             else PipelineState.create(self.config)
         )
         self.final_state = state
-        self._done_feeding = False
-        stop = threading.Event()
+        # Per-run token (not shared instance attrs): a lingering feeder
+        # from a previous max_frames-truncated run can neither flip this
+        # run's done flag nor interleave its frames (we join it + drain
+        # the ring first).
+        prev = getattr(self, "_feeder_thread", None)
+        if prev is not None and prev.is_alive():
+            self._token.stop.set()
+            prev.join(timeout=10.0)
+        while self.ring.pop(timeout=0.0) is not None:
+            pass  # discard frames left over from a truncated previous run
+        token = _RunToken()
+        self._token = token
         feeder = threading.Thread(
-            target=self._feeder, args=(sequence, stop), daemon=True
+            target=self._feeder, args=(sequence, token), daemon=True
         )
+        self._feeder_thread = feeder
         feeder.start()
 
         results: list[FrameResult] = []
@@ -122,7 +153,7 @@ class PipelineRunner:
                 with self.timer.stage("ring_pop"):
                     frame = self.ring.pop(timeout=2.0)
                 if frame is None:
-                    if self._done_feeding:
+                    if token.done.is_set() and self.ring.size() == 0:
                         break
                     continue
                 left, right, t = frame
@@ -145,10 +176,17 @@ class PipelineRunner:
             if pending is not None:
                 results.append(self._harvest(*pending))
         finally:
-            stop.set()
+            token.stop.set()
             # Inside finally: a crash/interrupt mid-run must still leave
             # the progress made so far snapshottable via save_state.
             self.final_state = state
+            self.last_results = results
+        if token.error is not None:
+            raise RuntimeError(
+                f"frame feeder failed after {len(results)} processed "
+                f"frames (partial results in .last_results, state in "
+                f".final_state)"
+            ) from token.error
         return results
 
     def save_state(self, path: str) -> None:

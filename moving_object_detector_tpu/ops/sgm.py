@@ -336,6 +336,21 @@ def sgm_disparity_raw(
     return disp
 
 
+def disparity_with_metadata(
+    disp: jnp.ndarray, stereo: StereoModel, cfg: SGMConfig
+) -> DisparityImage:
+    """Wrap a raw disparity map with the f/T/min/max metadata the
+    downstream DisparityImageProcessor relies on (single source for the
+    convention; also used by the spatially-sharded paths)."""
+    return DisparityImage.create(
+        disp,
+        f=stereo.cam.fx,
+        t=stereo.baseline,
+        min_disparity=0.0,
+        max_disparity=float(cfg.max_disparity - 1),
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def compute_disparity(
     left: jnp.ndarray,
@@ -349,11 +364,6 @@ def compute_disparity(
     (scene_flow_constructor.cpp:267-268), including the f/T/min/max metadata
     the downstream DisparityImageProcessor relies on.
     """
-    disp = sgm_disparity_raw(left, right, cfg)
-    return DisparityImage.create(
-        disp,
-        f=stereo.cam.fx,
-        t=stereo.baseline,
-        min_disparity=0.0,
-        max_disparity=float(cfg.max_disparity - 1),
+    return disparity_with_metadata(
+        sgm_disparity_raw(left, right, cfg), stereo, cfg
     )

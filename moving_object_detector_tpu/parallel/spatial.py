@@ -52,7 +52,7 @@ except ImportError:  # older jax
         )
 
 from ..config import SGMConfig
-from ..ops.sgm import sgm_disparity_raw
+from ..ops.sgm import disparity_with_metadata, sgm_disparity_raw
 from ..types import DisparityImage, StereoModel
 
 
@@ -82,6 +82,8 @@ def _neighbor_rows(x: jnp.ndarray, halo: int, axis_name: str, n: int):
 
 
 def _with_halo(x: jnp.ndarray, halo: int, axis_name: str, n: int):
+    if halo == 0:  # no-halo operating point (seam-error baselines)
+        return x
     top, bot = _neighbor_rows(x, halo, axis_name, n)
     return jnp.concatenate([top, x, bot], axis=-2)
 
@@ -102,24 +104,19 @@ def compute_disparity_spatial(
     """
     n = mesh.shape[axis]
     h = left.shape[0]
+    stripe = h // n
     assert h % n == 0, (h, n)
-    assert halo <= h // n, f"halo {halo} exceeds stripe height {h // n}"
+    assert 0 <= halo <= stripe, f"halo {halo} outside [0, {stripe}]"
 
     @_smap(mesh, (P(axis), P(axis)), P(axis))
     def run(l, r):
         le = _with_halo(l, halo, axis, n)
         re = _with_halo(r, halo, axis, n)
         disp = sgm_disparity_raw(le, re, cfg)
-        return disp[halo:-halo]
+        return disp[halo:halo + stripe]
 
     disp = run(left, right)
-    return DisparityImage.create(
-        disp,
-        f=stereo.cam.fx,
-        t=stereo.baseline,
-        min_disparity=0.0,
-        max_disparity=float(cfg.max_disparity - 1),
-    )
+    return disparity_with_metadata(disp, stereo, cfg)
 
 
 def flow_forward_spatial(
@@ -130,8 +127,13 @@ def flow_forward_spatial(
     mesh: Mesh,
     axis: str = "model",
     halo: int = 64,
+    input_scale: int = 1,
 ) -> jnp.ndarray:
     """PWC-Net forward with the row axis sharded over ``axis``.
+
+    ``input_scale`` is the pipeline's flow_input_scale serving knob
+    (pipeline._flow_forward) — pass config.flow_input_scale so the
+    sharded flow matches the unsharded operating point.
 
     prev_img/now_img: (H, W) f32; returns (H, W, 2) flow. Each stripe runs
     the full pyramid on its halo-extended rows (the net pads internally to
@@ -141,8 +143,9 @@ def flow_forward_spatial(
 
     n = mesh.shape[axis]
     h = now_img.shape[0]
+    stripe = h // n
     assert h % n == 0, (h, n)
-    assert halo <= h // n, f"halo {halo} exceeds stripe height {h // n}"
+    assert 0 <= halo <= stripe, f"halo {halo} outside [0, {stripe}]"
 
     param_specs = jax.tree_util.tree_map(lambda _: P(), flow_params)
 
@@ -150,8 +153,10 @@ def flow_forward_spatial(
     def run(params, p, q):
         pe = _with_halo(p, halo, axis, n)
         qe = _with_halo(q, halo, axis, n)
-        flow = _flow_forward(params, flow_model, pe, qe)
-        return flow[halo:-halo]
+        flow = _flow_forward(
+            params, flow_model, pe, qe, input_scale=input_scale
+        )
+        return flow[halo:halo + stripe]
 
     return run(flow_params, prev_img, now_img)
 
@@ -249,13 +254,7 @@ def detect_step_streams_spatial(
         flow = jax.lax.all_gather(flow, row_axis, axis=1, tiled=True)
 
         def one(state, left, right, t, fl, dp):
-            dimg = DisparityImage.create(
-                dp,
-                f=stereo.cam.fx,
-                t=stereo.baseline,
-                min_disparity=0.0,
-                max_disparity=float(config.sgm.max_disparity - 1),
-            )
+            dimg = disparity_with_metadata(dp, stereo, config.sgm)
             return detect_step(
                 params, state, left, right, t, stereo, config,
                 flow_model=flow_model, flow_override=fl,

@@ -100,10 +100,48 @@ int modt_ring_push(Ring* r, const uint8_t* payload, double timestamp,
     }
     if (r->drop_oldest) {
       // Latest-wins: advance tail, discarding the oldest frame (the
-      // reference's queue_size=1 topic behavior).
-      r->tail.compare_exchange_strong(tail, tail + 1);
-      r->dropped.fetch_add(1);
+      // reference's queue_size=1 topic behavior). Count a drop only when
+      // OUR cas discarded a frame — a concurrent consumer release also
+      // moves tail, and that is a consumed frame, not a dropped one.
+      if (r->tail.compare_exchange_strong(tail, tail + 1))
+        r->dropped.fetch_add(1);
       continue;
+    }
+    if (std::chrono::steady_clock::now() > deadline) return 0;
+    std::this_thread::yield();
+  }
+}
+
+// Validated-copy pop for drop-oldest rings. The zero-copy pop/release
+// protocol below is only safe when the producer never moves tail (blocking
+// mode); in drop-oldest mode the producer may reclaim the slot the consumer
+// is still reading. Here the consumer instead copies the oldest slot into
+// `out` and then claims it with a tail CAS: if the CAS fails the producer
+// dropped (and possibly overwrote) that slot mid-copy, so the copy is
+// discarded and the read retried at the new tail. The producer's overwrite
+// happens strictly after its own successful tail CAS, so a successful
+// consumer CAS proves the copied bytes were never concurrently written.
+// Returns 1 on success, 0 on timeout.
+int modt_ring_pop_copy(Ring* r, uint8_t* out, double* timestamp,
+                       int64_t* seq, double timeout_s) {
+  auto deadline = std::chrono::steady_clock::now() +
+                  std::chrono::duration<double>(timeout_s);
+  for (;;) {
+    uint64_t tail = r->tail.load(std::memory_order_acquire);
+    uint64_t head = r->head.load(std::memory_order_acquire);
+    if (tail < head) {
+      Slot* s = slot_at(r, tail);
+      double ts = s->timestamp;
+      int64_t sq = s->seq;
+      std::memcpy(out, reinterpret_cast<const uint8_t*>(s) + sizeof(Slot),
+                  r->payload_bytes);
+      uint64_t expect = tail;
+      if (r->tail.compare_exchange_strong(expect, tail + 1)) {
+        *timestamp = ts;
+        *seq = sq;
+        return 1;
+      }
+      continue;  // producer reclaimed the slot mid-copy; retry
     }
     if (std::chrono::steady_clock::now() > deadline) return 0;
     std::this_thread::yield();
@@ -112,6 +150,7 @@ int modt_ring_push(Ring* r, const uint8_t* payload, double timestamp,
 
 // Returns payload pointer or nullptr on timeout. timestamp/seq are output
 // params. The slot stays owned by the consumer until modt_ring_release.
+// ONLY safe on blocking-mode rings (see modt_ring_pop_copy).
 const uint8_t* modt_ring_pop(Ring* r, double* timestamp, int64_t* seq,
                              double timeout_s) {
   auto deadline = std::chrono::steady_clock::now() +

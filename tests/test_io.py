@@ -447,3 +447,107 @@ def test_image_sequence_kitti_layout(tmp_path):
     os.remove(tmp_path / "image_02" / "timestamps.txt")
     frames = list(readers.ImageSequence(str(ld), str(rd), fps=10.0))
     assert abs(frames[2][2] - 0.2) < 1e-9
+
+
+def test_frame_ring_drop_oldest_concurrent_torn_frames():
+    """Producer hammers a full drop-oldest ring while the consumer pops:
+    every delivered frame must be internally consistent (all pixels carry
+    the producer's per-frame constant — a torn read mixes two constants)
+    and timestamps must be non-decreasing. Guards the validated-copy pop
+    (modt_ring_pop_copy): the old zero-copy pop let the producer reclaim
+    and overwrite the slot mid-read."""
+    import threading
+
+    h, w, n = 16, 32, 400
+    ring = FrameRing(h, w, capacity=2, drop_oldest=True)
+
+    def produce():
+        for i in range(n):
+            f = np.full((h, w), float(i), np.float32)
+            ring.push(f, f + 0.5, float(i))
+
+    prod = threading.Thread(target=produce)
+    prod.start()
+    seen = []
+    while True:
+        frame = ring.pop(timeout=0.5)
+        if frame is None:
+            if not prod.is_alive():
+                break
+            continue
+        left, right, t = frame
+        assert left.min() == left.max(), "torn left frame"
+        assert right.min() == right.max(), "torn right frame"
+        assert float(left[0, 0]) == t
+        assert float(right[0, 0]) == t + 0.5
+        seen.append(t)
+    prod.join()
+    assert seen == sorted(seen)
+    assert len(seen) >= 1
+    assert len(seen) + ring.dropped() + ring.size() == n
+
+
+def test_runner_feeder_error_and_reuse():
+    """A raising sequence iterator must surface as RuntimeError (the old
+    runner spun forever on a dead feeder), preserving partial results; the
+    same runner must then be reusable with a fresh sequence (stale ring
+    frames and the dead feeder's flags must not leak into the next run)."""
+    from moving_object_detector_tpu.config import (
+        ClustererConfig,
+        EgoMotionConfig,
+        PipelineConfig,
+        SGMConfig,
+        TrackerConfig,
+        FlowNetConfig,
+    )
+    from moving_object_detector_tpu.io.runner import PipelineRunner
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet,
+        init_pwc_params,
+    )
+    from moving_object_detector_tpu.types import StereoModel
+
+    h, w = 32, 64
+    config = PipelineConfig(
+        height=h, width=w,
+        clusterer=ClustererConfig(cluster_size=20, max_objects=2,
+                                  neighbor_distance=2),
+        tracker=TrackerConfig(max_tracks=4),
+        sgm=SGMConfig(max_disparity=8),
+        egomotion=EgoMotionConfig(
+            max_features=64, nms_radius=2, ransac_hypotheses=8,
+            lk_pyramid_levels=1, min_inliers=4,
+        ),
+        flownet=FlowNetConfig(feature_channels=(8, 16, 32), search_range=2,
+                              use_context_net=False, dtype="float32"),
+    )
+    stereo = StereoModel.create(fx=50.0, fy=50.0, cx=w / 2, cy=h / 2,
+                                baseline=0.5)
+    model = PWCNet(config=config.flownet)
+    params = init_pwc_params(model, h, w)
+    seq = readers.SyntheticStereoSequence(
+        height=h, width=w, fx=50.0, baseline=0.5, z_bg=8.0, z_obj=4.0,
+        obj_size=(12, 16), obj_speed_px=3.0, n_frames=4,
+    )
+
+    def bad_sequence():
+        yield seq.frame(0)[0], seq.frame(0)[1], 0.0
+        yield seq.frame(1)[0], seq.frame(1)[1], 0.1
+        raise IOError("corrupt frame")
+
+    runner = PipelineRunner(config, stereo, params, model)
+    with pytest.raises(RuntimeError) as exc_info:
+        runner.run(bad_sequence())
+    assert isinstance(exc_info.value.__cause__, IOError)
+    assert len(runner.last_results) == 2
+
+    # Truncated run leaves frames in the ring + a live feeder...
+    runner.run(seq, max_frames=1)
+    # ...which must not contaminate a subsequent full run.
+    results = runner.run(
+        readers.SyntheticStereoSequence(
+            height=h, width=w, fx=50.0, baseline=0.5, z_bg=8.0, z_obj=4.0,
+            obj_size=(12, 16), obj_speed_px=3.0, n_frames=3,
+        )
+    )
+    assert len(results) == 3
