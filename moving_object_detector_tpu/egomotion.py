@@ -50,9 +50,18 @@ def _box_sum(x: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def harris_response(img: jnp.ndarray, window: int = 5, k: float = 0.04):
-    """Harris corner response from central-difference gradients."""
+    """Harris corner response from central-difference gradients.
+
+    The roll-based differences wrap around the image edges; the wrapped
+    first/last row/column would otherwise fabricate large gradients (bright
+    right edge vs dark left edge) that _box_sum spreads ``window//2`` px
+    inward — inside the dense mode's 2 px selection border, letting
+    textureless border pixels outrank real corners in their bucket. Zero
+    the undefined border gradients instead."""
     ix = (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)) * 0.5
     iy = (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)) * 0.5
+    ix = ix.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    iy = iy.at[0, :].set(0.0).at[-1, :].set(0.0)
     sxx = _box_sum(ix * ix, window)
     syy = _box_sum(iy * iy, window)
     sxy = _box_sum(ix * iy, window)

@@ -52,7 +52,7 @@ class PipelineState:
 
     pose: jnp.ndarray  # (4, 4) odom <- camera integrated pose
     prev_left: jnp.ndarray  # (H, W) f32 previous left image
-    prev_disparity: jnp.ndarray  # (H, W) f32 previous raw disparity
+    prev_disparity: DisparityImage  # previous disparity WITH metadata
     prev_time: jnp.ndarray  # () f32
     has_prev: jnp.ndarray  # () bool
     tracker: TrackerState
@@ -64,7 +64,14 @@ class PipelineState:
         return cls(
             pose=jnp.eye(4, dtype=jnp.float32),
             prev_left=jnp.zeros((h, w), jnp.float32),
-            prev_disparity=jnp.full((h, w), -1.0, jnp.float32),
+            # Placeholder metadata (max<min gates everything invalid);
+            # replaced by the real DisparityImage after frame 0, so an
+            # override's f/T/min/max survive into the next frame's
+            # match chain instead of being rebuilt from config.sgm.
+            prev_disparity=DisparityImage.create(
+                jnp.full((h, w), -1.0, jnp.float32), f=1.0, t=1.0,
+                min_disparity=0.0, max_disparity=-1.0,
+            ),
             prev_time=jnp.float32(0.0),
             has_prev=jnp.bool_(False),
             tracker=TrackerState.create(config.tracker.max_tracks),
@@ -183,13 +190,7 @@ def detect_step(
     else:
         disparity_now = compute_disparity(left, right, stereo, config.sgm)
 
-    disparity_prev = DisparityImage.create(
-        state.prev_disparity,
-        f=cam.fx,
-        t=stereo.baseline,
-        min_disparity=0.0,
-        max_disparity=float(config.sgm.max_disparity - 1),
-    )
+    disparity_prev = state.prev_disparity
 
     # The flow source is either the PWC network or an externally supplied
     # field (recorded/classical flow — SURVEY.md §7 step 2's validation path,
@@ -287,7 +288,7 @@ def detect_step(
     new_state = PipelineState(
         pose=new_pose,
         prev_left=left,
-        prev_disparity=disparity_now.disparity,
+        prev_disparity=disparity_now,
         prev_time=t,
         has_prev=jnp.bool_(True),
         tracker=new_tracker,

@@ -90,7 +90,12 @@ def construct_scene_flow(
     valid_now = jnp.isfinite(points_now[..., 0])
 
     # getPreviousPoint (scene_flow_constructor.h:195-214): finite flow, then
-    # previous pixel = round(now - flow).
+    # previous pixel = round(now - flow). NOTE: the PWC field is
+    # prev-indexed forward flow, and the reference knowingly samples it at
+    # the NOW pixel (and its static flow at the PREV pixel) — the two
+    # conventions are conflated upstream, an O(grad(flow)*flow) px
+    # approximation. Preserved bit-for-bit here: "fixing" it would break
+    # parity with the reference's detections.
     flow_finite = jnp.isfinite(flow[..., 0]) & jnp.isfinite(flow[..., 1])
     safe_flow = jnp.where(flow_finite[..., None], flow, 0.0)
     up = jnp.round(u - safe_flow[..., 0]).astype(jnp.int32)

@@ -43,14 +43,22 @@ def main():
     )
 
     b = generate_batch(jax.random.PRNGKey(0), 4, h, w)
-    epes = []
-    for i in range(4):
-        fl = _flow_forward(
-            params, model, b["img1"][i, ..., 0], b["img2"][i, ..., 0]
-        )
-        epes.append(flow_epe(np.asarray(fl), np.asarray(b["flow"][i]))["epe"])
-    print(f"fixed-batch EPE: {[round(e, 2) for e in epes]} "
-          f"mean {np.mean(epes):.3f}")
+    # Score full resolution AND the flow_input_scale=2 serving knob: the
+    # knob is ~4x cheaper on chip but with the v2 weights costs 2x EPE
+    # (3.56 -> 7.27 on this batch) — retrains should watch whether that
+    # gap closes enough to make scale-2 deployable (< 4.5 floor).
+    for scale in (1, 2):
+        epes = []
+        for i in range(4):
+            fl = _flow_forward(
+                params, model, b["img1"][i, ..., 0], b["img2"][i, ..., 0],
+                input_scale=scale,
+            )
+            epes.append(
+                flow_epe(np.asarray(fl), np.asarray(b["flow"][i]))["epe"]
+            )
+        print(f"fixed-batch EPE (input_scale={scale}): "
+              f"{[round(e, 2) for e in epes]} mean {np.mean(epes):.3f}")
 
     seq = SyntheticStereoSequence(height=h, width=w, fx=300.0, n_frames=3)
     l0, _, _, _ = seq.frame(0)

@@ -347,3 +347,34 @@ def test_end_to_end_moving_camera():
     assert tvalid.sum() == 1
     tvel = np.asarray(tracked.velocity)[tvalid.argmax()]
     assert abs(tvel[0] - V_TRUE) < 0.5
+
+
+def test_prev_disparity_metadata_carry():
+    """state.prev_disparity carries the FULL DisparityImage (metadata, not
+    just the raw map): a disparity_override's f/T/min/max must survive into
+    the next frame's match chain instead of being rebuilt from config.sgm;
+    the frame-0 placeholder must gate every pixel invalid (max < min)."""
+    from moving_object_detector_tpu.types import DisparityImage
+
+    state = PipelineState.create(CONFIG)
+    assert not bool(np.asarray(state.prev_disparity.valid_mask()).any())
+
+    rng = np.random.default_rng(5)
+    bg = blocky(rng, H, W)
+    obj_tex = noisy(rng, OBJ_H, OBJ_W)
+    left, right = make_frame(bg, obj_tex, 30)
+    override = DisparityImage.create(
+        jnp.full((H, W), 7.0), f=999.0, t=2.5,
+        min_disparity=1.0, max_disparity=64.0,
+    )
+    state, _ = detect_step(
+        None, state, jnp.asarray(left), jnp.asarray(right), jnp.float32(0.0),
+        STEREO, CONFIG,
+        flow_override=jnp.asarray(true_flow(30, first=True)),
+        disparity_override=override,
+    )
+    assert float(state.prev_disparity.f) == 999.0
+    assert float(state.prev_disparity.t) == 2.5
+    assert float(state.prev_disparity.min_disparity) == 1.0
+    assert float(state.prev_disparity.max_disparity) == 64.0
+    assert bool(np.asarray(state.prev_disparity.valid_mask()).all())

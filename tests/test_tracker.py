@@ -191,3 +191,22 @@ def test_gating_rejects_far_association():
     # Original track not corrected; new track spawned.
     assert np.asarray(state.active).sum() == 2
     assert int(np.asarray(state.correction_count)[0]) == 0
+
+
+def test_chol_inv_det4_matches_numpy():
+    """The unrolled Cholesky inverse/determinant must match LAPACK on random
+    SPD matrices (it replaces jnp.linalg.inv/det in the tracker hot path)."""
+    import numpy as np
+
+    from moving_object_detector_tpu.tracker import _chol_inv_det4
+
+    rng = np.random.default_rng(3)
+    b = rng.normal(size=(32, 4, 4)).astype(np.float32)
+    spd = b @ b.transpose(0, 2, 1) + 0.1 * np.eye(4, dtype=np.float32)
+    inv, det = _chol_inv_det4(jnp.asarray(spd))
+    np.testing.assert_allclose(
+        np.asarray(inv), np.linalg.inv(spd), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(det), np.linalg.det(spd), rtol=2e-3
+    )
