@@ -32,10 +32,14 @@ class SceneFlowConfig:
     # Backend for the flow-matched previous-disparity lookup (the hot
     # 467k-index gather): "pallas" = windowed tile kernel
     # (ops/gather_pallas.py, 24x the XLA gather on v5e, exact within the
-    # window), "xla" = plain gather (unbounded match distance), "auto" =
-    # pallas on accelerators. With the pallas backend, matches farther than
-    # the radii below are treated as invalid (no velocity at that pixel) —
-    # the same degradation the reference applies to out-of-image matches.
+    # window), "xla" = plain gather (unbounded match distance), "fused" =
+    # the ENTIRE scene-flow construct as one Pallas pass
+    # (ops/sceneflow_pallas.py; window semantics as "pallas"), "auto" =
+    # pallas on accelerators. With the windowed backends, matches farther
+    # than the radii below are treated as invalid (no velocity at that
+    # pixel) — the same degradation the reference applies to out-of-image
+    # matches. "pallas_interpret"/"fused_interpret" run the kernels in
+    # interpreter mode (CPU tests).
     gather_backend: str = "auto"
     match_v_radius: int = 16  # max |vertical flow| px matched by the kernel
     match_h_radius: int = 128  # max |horizontal flow| px matched

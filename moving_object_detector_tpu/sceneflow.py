@@ -81,9 +81,36 @@ def construct_scene_flow(
       scene_flow_constructor.cpp:144-145).
     """
     h, w = points_now.shape[:2]
-    u, v = geometry.pixel_grid(h, w)
     if transform_prev2now is None:
         transform_prev2now = jnp.eye(4, dtype=jnp.float32)
+
+    from .ops import resolve_auto_backend
+
+    backend = resolve_auto_backend(
+        getattr(config, "gather_backend", "xla") if config else "xla"
+    )
+    if backend in ("fused", "fused_interpret"):
+        # Whole construct in ONE Pallas pass (ops/sceneflow_pallas.py):
+        # the points_* arguments are ignored (re-derived in-kernel from the
+        # disparities — XLA dead-code-eliminates the caller's copies).
+        from .ops.sceneflow_pallas import pack_params, scene_flow_fused_pallas
+
+        params = pack_params(
+            cam, disparity_now, disparity_previous, transform_prev2now,
+            dt, dynamic_flow_diff,
+        )
+        points, velocity, static_flow = scene_flow_fused_pallas(
+            disparity_now.disparity,
+            disparity_previous.disparity,
+            flow,
+            params,
+            v_radius=config.match_v_radius,
+            h_radius=config.match_h_radius,
+            interpret=backend == "fused_interpret",
+        )
+        return SceneFlowCloud(points=points, velocity=velocity), static_flow
+
+    u, v = geometry.pixel_grid(h, w)
 
     static_flow = static_optical_flow(points_prev_transformed, cam)
 

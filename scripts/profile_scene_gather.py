@@ -76,3 +76,60 @@ def var_step(carry):
 
 
 t("scene construct (varying flow)", var_step, (d0, d0 + 0.5, flow0))
+
+
+# --- Backend comparison: composite (xla / windowed-pallas) vs the fused
+# one-pass kernel (ops/sceneflow_pallas.py), varying flow, plus a parity
+# check on the real chip (odd-resolution padding exercised by 376x1242).
+import dataclasses
+
+from moving_object_detector_tpu.config import SceneFlowConfig
+
+
+def build_cfg(d_now, d_prev, flow, cfg):
+    disp_now = DisparityImage.create(d_now, f=cam.fx, t=0.54,
+                                     min_disparity=0.0, max_disparity=127.0)
+    disp_prev = DisparityImage.create(d_prev, f=cam.fx, t=0.54,
+                                      min_disparity=0.0, max_disparity=127.0)
+    pts_now = geometry.disparity_to_points(disp_now, cam)
+    pts_prev = geometry.transform_points(
+        motion, geometry.disparity_to_points(disp_prev, cam)
+    )
+    return construct_scene_flow(
+        pts_now, pts_prev, flow, disp_now, disp_prev, cam,
+        jnp.float32(0.1), jnp.float32(5.0), transform_prev2now=motion,
+        config=cfg,
+    )
+
+
+for backend in ("xla", "pallas", "fused"):
+    cfg = dataclasses.replace(SceneFlowConfig(), gather_backend=backend)
+
+    def step(carry, cfg=cfg):
+        d_now, d_prev, flow = carry
+        cloud, sf = build_cfg(d_now, d_prev, flow, cfg)
+        w = witness(cloud, sf)
+        return d_now + w, d_prev, flow + w
+
+    t(f"scene construct [{backend}] (varying flow)", step,
+      (d0, d0 + 0.5, flow0))
+
+# Parity on hardware: fused vs windowed composite must agree exactly
+# (same window semantics); vs xla they agree wherever the match is within
+# the window (flow0 is within +-8 px, so everywhere).
+out_p = build_cfg(d0, d0 + 0.5, flow0,
+                  dataclasses.replace(SceneFlowConfig(),
+                                      gather_backend="pallas"))
+out_f = build_cfg(d0, d0 + 0.5, flow0,
+                  dataclasses.replace(SceneFlowConfig(),
+                                      gather_backend="fused"))
+for name, a, b in (
+    ("points", out_p[0].points, out_f[0].points),
+    ("velocity", out_p[0].velocity, out_f[0].velocity),
+    ("static_flow", out_p[1], out_f[1]),
+):
+    a, b = np.asarray(a), np.asarray(b)
+    nan_eq = (np.isnan(a) == np.isnan(b)).all()
+    close = np.allclose(a, b, rtol=1e-5, atol=1e-5, equal_nan=True)
+    print(f"parity fused vs pallas [{name}]: nan-mask {'OK' if nan_eq else 'MISMATCH'},"
+          f" values {'OK' if close else 'MISMATCH'}", flush=True)

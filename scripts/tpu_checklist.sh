@@ -26,6 +26,7 @@ run bench_busy python bench.py --busy
 # Serving knob.
 run bench_flowscale2 python bench.py --flow-input-scale 2
 # Clusterer substage attribution + fixpoint iteration count.
+run profile_scene_fused python scripts/profile_scene_gather.py
 run profile_clusterer python scripts/profile_clusterer.py
 # Full per-stage profile.
 run profile_pipeline python scripts/profile_pipeline.py
