@@ -1,0 +1,116 @@
+"""End-to-end detection-quality gate for a flow checkpoint (PLAN_NEXT
+retrain item): run the FULL pipeline (real SGM + real PWC flow + ego-motion
++ clustering + tracking) on the synthetic moving-object scene and score
+detections against the generator's ground truth.
+
+The v2 weights fail mode (a): fine-only textures make the net hallucinate
+background flow -> phantom objects on the static background plane. A good
+checkpoint must (1) detect the moving block on most frames with the right
+velocity sign/magnitude, (2) produce ZERO detections whose center is off
+the object.
+
+Usage: python scripts/validate_detection_quality.py [ckpt] [h w frames]
+(defaults: bundled weights, 192x448, 10 frames). Exits nonzero on failure,
+so retrain recipes can gate on it. Runs anywhere (CPU ok at 192x448).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ckpt = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    h = int(sys.argv[2]) if len(sys.argv) > 2 else 192
+    w = int(sys.argv[3]) if len(sys.argv) > 3 else 448
+    n_frames = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+
+    from moving_object_detector_tpu.config import PipelineConfig
+    from moving_object_detector_tpu.io.readers import SyntheticStereoSequence
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet,
+        init_pwc_params_abstract,
+    )
+    from moving_object_detector_tpu.pipeline import PipelineState, detect_step
+    from moving_object_detector_tpu.types import StereoModel
+    from moving_object_detector_tpu.utils.checkpoint import (
+        resolve_flow_checkpoint,
+        restore_flow_params,
+    )
+
+    fx = 300.0
+    config = PipelineConfig(height=h, width=w)
+    model = PWCNet(config=config.flownet)
+    path = resolve_flow_checkpoint(ckpt)
+    if not path:
+        sys.exit(f"no flow checkpoint resolved from {ckpt!r}")
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        restore_flow_params(path, like=init_pwc_params_abstract(model)),
+    )
+    seq = SyntheticStereoSequence(
+        height=h, width=w, fx=fx, n_frames=n_frames + 1
+    )
+    stereo = StereoModel.create(
+        fx=fx, fy=fx, cx=w / 2.0, cy=h / 2.0, baseline=seq.baseline
+    )
+    state = PipelineState.create(config)
+
+    step = jax.jit(
+        lambda s, l, r, t: detect_step(
+            params, s, l, r, t, stereo, config, flow_model=model
+        )
+    )
+
+    hits, phantoms, vel_errs = 0, 0, []
+    for k in range(n_frames):
+        left, right, _, truth = seq.frame(k)
+        state, out = step(
+            state, jnp.asarray(left), jnp.asarray(right),
+            jnp.float32(k / seq.fps),
+        )
+        if k == 0:
+            continue
+        valid = np.asarray(out.detections.valid)
+        centers = np.asarray(out.detections.center)
+        vels = np.asarray(out.detections.velocity)
+        y0, x0, oh, ow = truth["obj_box"]
+        v_true = truth["velocity"]  # (vx, vy, vz) m/s, camera frame
+        frame_hit = False
+        for i in np.flatnonzero(valid):
+            # Project the detection center back to pixels to test overlap.
+            u = fx * centers[i, 0] / centers[i, 2] + w / 2.0
+            v = fx * centers[i, 1] / centers[i, 2] + h / 2.0
+            on_obj = (x0 - 16 <= u <= x0 + ow + 16) and (
+                y0 - 16 <= v <= y0 + oh + 16
+            )
+            if on_obj:
+                frame_hit = True
+                vel_errs.append(
+                    float(np.linalg.norm(vels[i] - np.asarray(v_true)))
+                )
+            else:
+                phantoms += 1
+                print(f"frame {k}: PHANTOM at px ({u:.0f}, {v:.0f}) "
+                      f"z {centers[i, 2]:.1f} vel {vels[i].round(2)}")
+        hits += int(frame_hit)
+
+    scored = n_frames - 1
+    print(f"object detected {hits}/{scored} frames; "
+          f"{phantoms} phantom detections; "
+          f"median |vel err| "
+          f"{np.median(vel_errs) if vel_errs else float('nan'):.3f} m/s "
+          f"(|v_true| = {np.linalg.norm(seq.frame(1)[3]['velocity']):.3f})")
+    ok = hits >= 0.7 * scored and phantoms == 0
+    if vel_errs:
+        ok = ok and np.median(vel_errs) < 0.5
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
