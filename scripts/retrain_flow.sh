@@ -60,8 +60,12 @@ params = restore_flow_params(
 save_flow_params_npz("weights/pwc_v3.fp16.npz", jax.device_get(params))
 print("wrote weights/pwc_v3.fp16.npz")
 EOF
+echo "== end-to-end detection gate (must PASS: no phantoms, >=70% hits;"
+echo "   v2 baseline: 1/3 hits, 4 phantoms) =="
+timeout 1800 python scripts/validate_detection_quality.py \
+    weights/pwc_v3.fp16.npz 192 448 10
+
 echo "== DONE. Compare evals above against v2 (EPE<4.5 floor; static"
 echo "   fine-texture spurious rate target <5%, v2 was 35.7%). If good:"
-echo "   switch utils/checkpoint.default_flow_checkpoint to pwc_v3, rerun"
-echo "   tests + bench, validate 'run.py --source synthetic' detects only"
-echo "   the moving block."
+echo "   switch utils/checkpoint.default_flow_checkpoint to pwc_v3 and"
+echo "   rerun tests + bench."
