@@ -9,7 +9,9 @@
 #      100 px at 1242 width (~36 px at the 448 training width). Stages
 #      extend to 48 then 64 px with a higher-resolution final stage.
 #
-# Stages resume from the previous checkpoint; each is scored with
+# Stage A resumes from $RESUME_FROM (default: the bundled fp16 npz, which
+# survives machine resets; an orbax dir also works). Later stages resume
+# from the previous stage's checkpoint; each is scored with
 # scripts/eval_flow_ckpt.py (EPE on the held-out batch + static
 # fine-texture spurious-flow rate). Final artifact:
 # checkpoints/pwc_v3 (orbax) + weights/pwc_v3.fp16.npz.
@@ -30,7 +32,7 @@ score() { echo "== eval $1 =="; timeout 1800 python scripts/eval_flow_ckpt.py "$
 
 echo "== stage A: adapt to coarse-dropout textures (192x448, shift 24) =="
 train --steps $S1 --batch 8 --height 192 --width 448 --lr 2e-4 --warmup 300 \
-    --max-shift 24 --bg-max-shift 10 --resume checkpoints/pwc_v2 \
+    --max-shift 24 --bg-max-shift 10 --resume "${RESUME_FROM:-weights/pwc_v2.fp16.npz}" \
     --checkpoint checkpoints/pwc_v3.sA --save-every 2000 --seed 11
 score checkpoints/pwc_v3.sA
 
