@@ -27,6 +27,9 @@ moving-object pipeline itself doesn't wire them in:
 * ``alg.icf``         — kkl/cvk/*: integral-channel-features toolkit
   (HSV/LUV/gradient-histogram channels, integral images, normalized box
   filters) plus the cvutils color-palette/rect helpers.
+
+(kkl/viewer/light_viewer.hpp — an OpenCV debug window — has no on-chip
+role; its job is covered by the io/viz.py image/marker exports.)
 """
 
 from . import boosting, classifiers, gaussian, icf  # noqa: F401
