@@ -53,4 +53,8 @@ def center_crop_stereo(
     h, w = right.shape[:2]
     y0, x0 = center_crop_offsets(h, w, target_h, target_w)
     right_c = right[y0 : y0 + target_h, x0 : x0 + target_w]
-    return left_c, right_c, StereoModel(cam=cam_c, baseline=stereo.baseline)
+    return left_c, right_c, StereoModel(
+        cam=cam_c,
+        baseline=stereo.baseline,
+        base_from_camera=stereo.base_from_camera,
+    )

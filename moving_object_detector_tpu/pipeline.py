@@ -50,7 +50,8 @@ class PipelineState:
     """Functional pipeline state (everything the reference kept as node
     member variables)."""
 
-    pose: jnp.ndarray  # (4, 4) odom <- camera integrated pose
+    pose: jnp.ndarray  # (4, 4) odom <- base_link integrated pose
+    # (== odom <- camera when stereo.base_from_camera is identity)
     prev_left: jnp.ndarray  # (H, W) f32 previous left image
     prev_disparity: DisparityImage  # previous disparity WITH metadata
     prev_time: jnp.ndarray  # () f32
@@ -93,8 +94,8 @@ class FrameOutput:
     detections: MovingObjects  # camera frame (clusterer output)
     label_image: jnp.ndarray  # (H, W) int32 compact cluster ids
     tracked: TrackedObjects  # odom frame
-    motion: jnp.ndarray  # (4, 4) p_now = M @ p_prev
-    odom_pose: jnp.ndarray  # (4, 4) camera pose in odom
+    motion: jnp.ndarray  # (4, 4) p_now = M @ p_prev (camera frame)
+    odom_pose: jnp.ndarray  # (4, 4) odom <- camera (pose @ base_from_camera)
     ego_success: jnp.ndarray  # () bool
     frame_valid: jnp.ndarray  # () bool: scene flow usable this frame
 
@@ -251,13 +252,22 @@ def detect_step(
     )
 
     # --- Odometry integration (integrateAndBroadcastTF,
-    # scene_flow_constructor.cpp:320-349; base_link == camera here). ---
+    # scene_flow_constructor.cpp:320-349). The camera-frame motion is
+    # conjugated into the base_link frame by the static extrinsic the
+    # reference reads from the TF tree (robot_state_publisher URDF,
+    # detect_with_zed.launch:36-54; identity fallback :333-342), then
+    # integrated into the odom<-base_link pose the reference broadcasts. ---
+    t_bc = stereo.base_from_camera
+    motion_base = t_bc @ motion @ geometry.se3_inverse(t_bc)
     new_pose = jnp.where(
-        ego_ok, state.pose @ geometry.se3_inverse(motion), state.pose
+        ego_ok, state.pose @ geometry.se3_inverse(motion_base), state.pose
     )
 
-    # --- Tracking in the odom frame. ---
-    det_odom = transform_objects(detections, new_pose)
+    # --- Tracking in the odom frame. The tracker's TF lookup
+    # (moving_objects_tracker.cpp:56-64) resolves camera->odom =
+    # (odom<-base_link) o (base_link<-camera). ---
+    cam_to_odom = new_pose @ t_bc
+    det_odom = transform_objects(detections, cam_to_odom)
 
     def run_tracker(ts):
         return track_step(
@@ -304,7 +314,7 @@ def detect_step(
         label_image=label_image,
         tracked=tracked,
         motion=motion,
-        odom_pose=new_pose,
+        odom_pose=cam_to_odom,
         ego_success=ego_ok,
         frame_valid=frame_valid,
     )

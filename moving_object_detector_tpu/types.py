@@ -45,16 +45,29 @@ class StereoModel:
 
     Mirrors image_geometry::StereoCameraModel usage at
     scene_flow_constructor.cpp:309-314.
+
+    ``base_from_camera`` is the static base_link<-camera extrinsic the
+    reference obtains from the TF tree (robot_state_publisher URDF,
+    detect_with_zed.launch:36-54) and folds into the integrated odometry
+    at scene_flow_constructor.cpp:320-349; identity means the camera IS
+    the robot base (the reference's fallback when the lookup fails,
+    :333-342).
     """
 
     cam: CameraModel
     baseline: jnp.ndarray
+    base_from_camera: jnp.ndarray  # (4, 4) base_link <- camera
 
     @classmethod
-    def create(cls, fx, fy, cx, cy, baseline) -> "StereoModel":
+    def create(
+        cls, fx, fy, cx, cy, baseline, base_from_camera=None
+    ) -> "StereoModel":
+        if base_from_camera is None:
+            base_from_camera = jnp.eye(4, dtype=jnp.float32)
         return cls(
             cam=CameraModel.create(fx, fy, cx, cy),
             baseline=jnp.asarray(baseline, jnp.float32),
+            base_from_camera=jnp.asarray(base_from_camera, jnp.float32),
         )
 
 

@@ -349,6 +349,70 @@ def test_end_to_end_moving_camera():
     assert abs(tvel[0] - V_TRUE) < 0.5
 
 
+def test_base_from_camera_extrinsic():
+    """A camera mounted off the robot base (static base_link<-camera TF,
+    integrateAndBroadcastTF scene_flow_constructor.cpp:320-349 + the
+    tracker's camera->odom lookup moving_objects_tracker.cpp:56-64): every
+    odom-frame output must be the identity-extrinsic run's output mapped by
+    the extrinsic. A z-axis rotation maps the tracker's filtered xy-plane to
+    itself and the KF noise is xy-isotropic (kalman_tracker.hpp:42-51), so
+    equality is exact up to float tolerance."""
+    c, s = 0.0, 1.0  # 90 deg about camera z
+    t_bc = np.array(
+        [
+            [c, -s, 0.0, 0.3],
+            [s, c, 0.0, -0.2],
+            [0.0, 0.0, 1.0, 0.5],
+            [0.0, 0.0, 0.0, 1.0],
+        ],
+        np.float32,
+    )
+    stereo_t = StereoModel.create(
+        fx=FX, fy=FX, cx=W / 2.0, cy=H / 2.0, baseline=BASE,
+        base_from_camera=t_bc,
+    )
+
+    rng = np.random.default_rng(11)
+    bg = blocky(rng, H, W)
+    obj_tex = noisy(rng, OBJ_H, OBJ_W)
+    outs = {}
+    for name, stereo in (("id", STEREO), ("tf", stereo_t)):
+        state = PipelineState.create(CONFIG)
+        for k in range(5):
+            left, right, obj_x = make_frame_moving(bg, obj_tex, k)
+            flow = true_flow_moving(obj_x, first=(k == 0))
+            state, out = detect_step(
+                None, state, jnp.asarray(left), jnp.asarray(right),
+                jnp.float32(k * DT), stereo, CONFIG,
+                flow_override=jnp.asarray(flow),
+            )
+        outs[name] = out
+
+    # Camera-frame products are extrinsic-independent.
+    np.testing.assert_allclose(
+        np.asarray(outs["tf"].motion), np.asarray(outs["id"].motion),
+        atol=1e-6,
+    )
+    # odom<-camera composes the extrinsic once, on the left.
+    np.testing.assert_allclose(
+        np.asarray(outs["tf"].odom_pose),
+        t_bc @ np.asarray(outs["id"].odom_pose),
+        atol=1e-4,
+    )
+    # Tracked objects: centers map as points, velocities as vectors.
+    tid, ttf = outs["id"].tracked.objects, outs["tf"].tracked.objects
+    vid = np.asarray(tid.valid)
+    assert vid.sum() == 1 and (np.asarray(ttf.valid) == vid).all()
+    i = vid.argmax()
+    c_id = np.asarray(tid.center)[i]
+    c_tf = np.asarray(ttf.center)[i]
+    np.testing.assert_allclose(c_tf, t_bc[:3, :3] @ c_id + t_bc[:3, 3],
+                               atol=1e-3)
+    v_id = np.asarray(tid.velocity)[i]
+    v_tf = np.asarray(ttf.velocity)[i]
+    np.testing.assert_allclose(v_tf, t_bc[:3, :3] @ v_id, atol=1e-3)
+
+
 def test_prev_disparity_metadata_carry():
     """state.prev_disparity carries the FULL DisparityImage (metadata, not
     just the raw map): a disparity_override's f/T/min/max must survive into
