@@ -115,12 +115,25 @@ def generate_pair(
 
     img*: (h, w, 1) f32 in [0, 1]; flow: (h, w, 2) forward flow in pixels.
     """
-    keys = jax.random.split(key, 4 + 3 * n_objects)
+    keys = jax.random.split(key, 5 + 3 * n_objects)
     xy = _grid_xy(h, w)
+
+    # --- per-sample global magnitude mixture ---
+    # Scaling every motion bound by mag ~ U[0,1] (with a 10% exactly-static
+    # floor) keeps small AND zero motion in-distribution at every curriculum
+    # stage. Without it, a large-max_shift stage teaches a large-flow prior
+    # that resurfaces as hallucinated flow wherever the image is
+    # uninformative (measured: the stage-B shift-48 retrain regressed the
+    # static fine-texture spurious rate from 0.0% back to 43.4%).
+    kmag, kstat = jax.random.split(keys[4])
+    mag = jax.random.uniform(kmag, ())
+    mag = jnp.where(jax.random.uniform(kstat, ()) < 0.1, 0.0, mag)
 
     # --- background layer ---
     bg_tex = _octave_texture(keys[0], h, w)
-    bg_lin, bg_trans = _rand_affine(keys[1], h, w, bg_max_shift, 0.05, 0.05)
+    bg_lin, bg_trans = _rand_affine(
+        keys[1], h, w, mag * bg_max_shift, mag * 0.05, mag * 0.05
+    )
 
     img1 = bg_tex
     # Flow of the background at every pixel (overwritten by objects on top).
@@ -135,9 +148,11 @@ def generate_pair(
     # --- object layers (later objects composite on top) ---
     min_dim = min(h, w)
     for i in range(n_objects):
-        kt, kp, km = keys[4 + 3 * i : 7 + 3 * i]
+        kt, kp, km = keys[5 + 3 * i : 8 + 3 * i]
         tex = _octave_texture(kt, h, w)
-        lin, trans = _rand_affine(kp, h, w, max_shift, 0.3, 0.15)
+        lin, trans = _rand_affine(
+            kp, h, w, mag * max_shift, mag * 0.3, mag * 0.15
+        )
 
         pk = jax.random.split(km, 4)
         center = jax.random.uniform(

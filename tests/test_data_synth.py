@@ -46,3 +46,18 @@ def test_batch_and_determinism():
     np.testing.assert_array_equal(b1["img2"], b2["img2"])
     # distinct samples within a batch
     assert float(jnp.abs(b1["img1"][0] - b1["img1"][1]).max()) > 0.05
+
+
+def test_magnitude_mixture_keeps_static_scenes():
+    """Every curriculum stage must keep zero/small motion in-distribution
+    (the per-sample magnitude mixture with a 10% static floor): a
+    large-max_shift stage without it regresses the static fine-texture
+    spurious-flow rate (see PLAN_NEXT.md, stage-B 43.4% regression)."""
+    b = generate_batch(
+        jax.random.PRNGKey(123), 64, 64, 96, max_shift=48.0,
+        bg_max_shift=20.0,
+    )
+    peak = np.asarray(jnp.abs(b["flow"]).max(axis=(1, 2, 3)))
+    assert (peak < 0.1).mean() >= 0.03, peak.min()  # exact-static samples
+    assert (peak < 8.0).mean() >= 0.2  # dense small-motion coverage
+    assert peak.max() > 24.0  # the large-shift tail survives
