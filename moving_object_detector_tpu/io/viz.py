@@ -29,6 +29,37 @@ def write_ppm(path: str, image: np.ndarray) -> None:
         f.write(img.tobytes())
 
 
+def write_png(path: str, image: np.ndarray) -> None:
+    """(H, W) grayscale or (H, W, 3) RGB float [0,1] or uint8 -> PNG
+    (stdlib zlib, filter 0 on every scanline; no external codecs). Browsers
+    render PNG but not PPM, so the HTML report (scripts/make_report.py)
+    uses this."""
+    import struct
+    import zlib
+
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        img = (np.clip(np.nan_to_num(img), 0.0, 1.0) * 255).astype(np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    h, w, _ = img.shape
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * 3)], axis=1
+    ).tobytes()
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
 def label_colors(n: int) -> np.ndarray:
     """Distinct colors by evenly spaced hue — the reference's HSV color set
     (color_set.cpp:16-26). (n, 3) uint8."""

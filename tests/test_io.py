@@ -551,3 +551,58 @@ def test_runner_feeder_error_and_reuse():
         )
     )
     assert len(results) == 3
+
+
+def test_write_png_roundtrip(tmp_path):
+    """viz.write_png output decodes bitwise via the repo's own PNG reader
+    (which exercises the native defilter path when available)."""
+    rng = np.random.default_rng(3)
+    img = (rng.random((21, 45, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    viz.write_png(p, img)
+    back = readers.read_png(p)
+    if back.dtype != np.uint8:
+        back = (back * 255 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(back, img)
+    # float input clips and scales like write_ppm
+    viz.write_png(p, rng.random((8, 8)))
+    assert readers.read_png(p).shape[:2] == (8, 8)
+
+
+def test_make_report(tmp_path):
+    """scripts/make_report.py builds the rqt-perspective-analog HTML page
+    from an export dir (PNG panes + marker table)."""
+    import importlib.util
+    import json as _json
+
+    spec = importlib.util.spec_from_file_location(
+        "make_report",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "make_report.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rng = np.random.default_rng(0)
+    viz.write_ppm(str(tmp_path / "000000_clusters.ppm"),
+                  rng.random((12, 16, 3)))
+    viz.write_ppm(str(tmp_path / "000000_flow.ppm"), rng.random((12, 16, 3)))
+    markers = [
+        {"action": "deleteall"},
+        {"type": "cube", "ns": "det", "id": 1,
+         "position": [1.0, 2.0, 3.0], "scale": [0.5, 0.5, 0.5]},
+    ]
+    (tmp_path / "000000_markers.json").write_text(_json.dumps(markers))
+
+    import sys as _sys
+
+    old = _sys.argv
+    try:
+        _sys.argv = ["make_report.py", str(tmp_path)]
+        mod.main()
+    finally:
+        _sys.argv = old
+    page = (tmp_path / "report.html").read_text()
+    assert "frame 0" in page and "000000_clusters.png" in page
+    assert "det" in page and "+1.00" in page
+    assert (tmp_path / "000000_flow.png").exists()
