@@ -68,22 +68,23 @@ def main(argv=None):
     stereo = StereoModel.create(
         fx=721.5, fy=721.5, cx=w / 2.0, cy=h / 2.0, baseline=0.54
     )
-    model = PWCNet(config=config.flownet)
-    from moving_object_detector_tpu.models.pwc_net import (
-        init_pwc_params_abstract,
-    )
     from moving_object_detector_tpu.utils.checkpoint import (
+        load_flow_checkpoint,
         resolve_flow_checkpoint,
-        restore_flow_params,
     )
 
     ckpt = resolve_flow_checkpoint(args.flow_checkpoint)
     if ckpt:
-        params = restore_flow_params(
-            ckpt, like=init_pwc_params_abstract(model)
-        )
+        # Architecture comes from the checkpoint's kernel shapes (slim/wide
+        # decoder variants bench without extra flags).
+        import dataclasses
+
+        params, flow_cfg = load_flow_checkpoint(ckpt, config.flownet)
+        config = dataclasses.replace(config, flownet=flow_cfg)
+        model = PWCNet(config=flow_cfg)
         params = jax.tree_util.tree_map(jnp.asarray, params)
     else:
+        model = PWCNet(config=config.flownet)
         params = init_pwc_params(model, h, w)
     state0 = PipelineState.create(config)
 

@@ -298,14 +298,25 @@ class SyntheticStereoSequence:
         """True lateral velocity in m/s."""
         return self.speed * self.z_obj / self.fx * self.fps
 
+    def _paste(self, img: np.ndarray, y: int, x: int) -> None:
+        """Draw the object at (y, x), clipped to the frame (the right-view
+        position x - d_obj can be partially or fully off-frame at small
+        widths / large disparities)."""
+        y0, x0 = max(y, 0), max(x, 0)
+        y1 = min(y + self.obj_h, self.h)
+        x1 = min(x + self.obj_w, self.w)
+        if y1 <= y0 or x1 <= x0:
+            return
+        img[y0:y1, x0:x1] = self.obj[y0 - y : y1 - y, x0 - x : x1 - x]
+
     def frame(self, k: int):
         obj_x = int(self.obj_x0 + self.speed * k)
         left = self.bg.copy()
         y, x = self.obj_y, obj_x
-        left[y : y + self.obj_h, x : x + self.obj_w] = self.obj
+        self._paste(left, y, x)
         right = np.roll(self.bg, -int(round(self.d_bg)), axis=1)
         rx = x - int(round(self.d_obj))
-        right[y : y + self.obj_h, rx : rx + self.obj_w] = self.obj
+        self._paste(right, y, rx)
         truth = {
             "obj_box": (y, x, self.obj_h, self.obj_w),
             "velocity": (self.object_velocity(), 0.0, 0.0),

@@ -226,6 +226,78 @@ def create_pwc_net(cfg: FlowNetConfig | None = None) -> PWCNet:
     return PWCNet(config=cfg or FlowNetConfig())
 
 
+def infer_flow_config(
+    shapes: dict, base: FlowNetConfig | None = None
+) -> FlowNetConfig:
+    """Recover the architecture fields of a checkpoint's FlowNetConfig from
+    its kernel shapes (flat "params/Module_i/.../kernel" keys -> shape).
+
+    Checkpoints are shape-self-describing: feature/estimator/context widths
+    are the kernels' output channels, search_range falls out of the first
+    estimator conv's input width ((2r+1)^2 correlation planes + top-level
+    features). Non-architecture fields (dtype, kernel backends) come from
+    ``base``. This lets slim/wide decoder variants (the
+    estimator_channels/context_channels retraining knobs) load with zero
+    CLI plumbing — serving infers the net from the weights, the way the
+    reference's Caffe prototxt travels with its caffemodel.
+    """
+    import dataclasses
+    import math
+
+    base = base or FlowNetConfig()
+
+    def out_ch(key: str) -> int:
+        return int(shapes[key][-1])
+
+    def indices(prefix: str, field: str) -> list[int]:
+        found = set()
+        for k in shapes:
+            if k.startswith(prefix + field + "_") and k.endswith("/kernel"):
+                found.add(int(k[len(prefix + field + "_"):].split("/")[0]))
+        return sorted(found)
+
+    fp = "params/FeaturePyramid_0/"
+    n_blocks = len(indices(fp, "ConvBlock"))
+    assert n_blocks % 2 == 0 and n_blocks >= 6, n_blocks
+    feature_channels = tuple(
+        out_ch(f"{fp}ConvBlock_{2 * i + 1}/Conv_0/kernel")
+        for i in range(n_blocks // 2)
+    )
+
+    est = "params/FlowEstimator_0/"
+    estimator_channels = tuple(
+        out_ch(f"{est}ConvBlock_{i}/Conv_0/kernel")
+        for i in indices(est, "ConvBlock")
+    )
+
+    use_context = any(k.startswith("params/ContextNetwork_0/") for k in shapes)
+    context_channels = base.context_channels
+    if use_context:
+        ctx = indices("params/ContextNetwork_0/", "Conv")
+        context_channels = tuple(
+            out_ch(f"params/ContextNetwork_0/Conv_{i}/kernel")
+            for i in ctx[:-1]  # the last conv is the 2-channel flow head
+        )
+
+    corr_dim = (
+        int(shapes[f"{est}ConvBlock_0/Conv_0/kernel"][-2])
+        - feature_channels[-1]
+    )
+    side = math.isqrt(corr_dim)
+    assert side * side == corr_dim and side % 2 == 1, corr_dim
+    search_range = (side - 1) // 2
+
+    return dataclasses.replace(
+        base,
+        pyramid_levels=len(feature_channels),
+        feature_channels=feature_channels,
+        estimator_channels=estimator_channels,
+        context_channels=context_channels,
+        use_context_net=use_context,
+        search_range=search_range,
+    )
+
+
 def init_pwc_params(model: PWCNet, height: int, width: int, key=None):
     """Initialize parameters (identical for every input resolution).
 

@@ -149,8 +149,7 @@ def main(argv=None) -> int:
 
         seq = cropped()
 
-    model = PWCNet(config=config.flownet)
-    from .utils.checkpoint import resolve_flow_checkpoint, restore_flow_params
+    from .utils.checkpoint import load_flow_checkpoint, resolve_flow_checkpoint
 
     # The tiny preset's architecture never matches the bundled weights.
     ckpt = (
@@ -158,12 +157,13 @@ def main(argv=None) -> int:
         else resolve_flow_checkpoint(args.flow_checkpoint)
     )
     if ckpt:
-        from .models.pwc_net import init_pwc_params_abstract
-
-        params = restore_flow_params(
-            ckpt, like=init_pwc_params_abstract(model)
-        )
+        # The checkpoint's kernel shapes define the architecture (slim/wide
+        # decoder variants load without width flags).
+        params, flow_cfg = load_flow_checkpoint(ckpt, config.flownet)
+        config = dataclasses.replace(config, flownet=flow_cfg)
+        model = PWCNet(config=flow_cfg)
     else:
+        model = PWCNet(config=config.flownet)
         params = init_pwc_params(model, args.height, args.width)
 
     runner = PipelineRunner(

@@ -56,6 +56,11 @@ def build_parser():
                    help="also checkpoint every N steps (0 = only at the end)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--estimator-channels", default=None,
+                   help="comma ints: FlowEstimator decoder widths "
+                        "(slim variants, PLAN_NEXT item 2)")
+    p.add_argument("--context-channels", default=None,
+                   help="comma ints: ContextNetwork widths")
     p.add_argument("--tiny", action="store_true",
                    help="small network for smoke runs")
     return p
@@ -83,6 +88,30 @@ def main(argv=None) -> int:
         if args.tiny
         else FlowNetConfig()
     )
+    if args.estimator_channels:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            estimator_channels=tuple(
+                int(c) for c in args.estimator_channels.split(",")
+            ),
+        )
+    if args.context_channels:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            context_channels=tuple(
+                int(c) for c in args.context_channels.split(",")
+            ),
+        )
+    if args.resume:
+        # The checkpoint's kernel shapes define the architecture; width
+        # flags must agree (a mismatched resume fails shape asserts below).
+        from ..utils.checkpoint import load_flow_checkpoint
+
+        _, cfg = load_flow_checkpoint(args.resume, base_config=cfg)
     model = PWCNet(config=cfg)
     state, tx = create_train_state(
         model, args.height, args.width, learning_rate=args.lr,

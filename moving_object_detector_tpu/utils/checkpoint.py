@@ -113,6 +113,41 @@ def restore_flow_params(path: str, like: Any = None) -> Any:
     return restored["params"]
 
 
+def load_flow_checkpoint(path: str, base_config: Any = None):
+    """Restore a flow checkpoint AND its inferred FlowNetConfig.
+
+    Returns ``(params, config)`` where the architecture fields of config
+    are recovered from the checkpoint's kernel shapes
+    (models.pwc_net.infer_flow_config) and the non-architecture fields
+    (dtype, kernel backends) are taken from ``base_config``. Slim/wide
+    decoder checkpoints therefore serve without any width flags.
+    """
+    from ..models.pwc_net import (
+        PWCNet,
+        infer_flow_config,
+        init_pwc_params_abstract,
+    )
+
+    if path.endswith(".npz"):
+        data = np.load(path)
+        shapes = {k: data[k].shape for k in data.files}
+        cfg = infer_flow_config(shapes, base_config)
+        like = init_pwc_params_abstract(PWCNet(config=cfg))
+        return restore_flow_params(path, like=like), cfg
+
+    params = restore_flow_params(path)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    # Flat keys already start with "params/" (the pytree's own top level),
+    # matching the npz archive's key convention.
+    shapes = {
+        "/".join(str(getattr(k, "key", k)) for k in kp): np.shape(leaf)
+        for kp, leaf in flat
+    }
+    # Raw orbax restore already yields correctly-shaped arrays; only the
+    # config needs inferring.
+    return params, infer_flow_config(shapes, base_config)
+
+
 def save_pipeline_state(path: str, state: Any) -> None:
     """Snapshot a PipelineState (or any pytree) for deterministic resume."""
     ocp = _ocp()

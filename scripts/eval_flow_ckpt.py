@@ -21,13 +21,10 @@ import jax.numpy as jnp
 from moving_object_detector_tpu.config import PipelineConfig
 from moving_object_detector_tpu.eval import flow_epe
 from moving_object_detector_tpu.io.readers import SyntheticStereoSequence
-from moving_object_detector_tpu.models.pwc_net import (
-    PWCNet,
-    init_pwc_params_abstract,
-)
+from moving_object_detector_tpu.models.pwc_net import PWCNet
 from moving_object_detector_tpu.pipeline import _flow_forward
 from moving_object_detector_tpu.train.data_synth import generate_batch
-from moving_object_detector_tpu.utils.checkpoint import restore_flow_params
+from moving_object_detector_tpu.utils.checkpoint import load_flow_checkpoint
 
 
 def main():
@@ -36,11 +33,9 @@ def main():
     w = int(sys.argv[3]) if len(sys.argv) > 3 else 448
 
     cfg = PipelineConfig()
-    model = PWCNet(config=cfg.flownet)
-    params = jax.tree_util.tree_map(
-        jnp.asarray,
-        restore_flow_params(ckpt, like=init_pwc_params_abstract(model)),
-    )
+    params, flow_cfg = load_flow_checkpoint(ckpt, cfg.flownet)
+    model = PWCNet(config=flow_cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
 
     b = generate_batch(jax.random.PRNGKey(0), 4, h, w)
     # Score full resolution AND the flow_input_scale=2 serving knob: the

@@ -31,27 +31,25 @@ def main():
 
     from moving_object_detector_tpu.config import PipelineConfig
     from moving_object_detector_tpu.io.readers import SyntheticStereoSequence
-    from moving_object_detector_tpu.models.pwc_net import (
-        PWCNet,
-        init_pwc_params_abstract,
-    )
+    from moving_object_detector_tpu.models.pwc_net import PWCNet
     from moving_object_detector_tpu.pipeline import PipelineState, detect_step
     from moving_object_detector_tpu.types import StereoModel
     from moving_object_detector_tpu.utils.checkpoint import (
+        load_flow_checkpoint,
         resolve_flow_checkpoint,
-        restore_flow_params,
     )
 
     fx = 300.0
     config = PipelineConfig(height=h, width=w)
-    model = PWCNet(config=config.flownet)
     path = resolve_flow_checkpoint(ckpt)
     if not path:
         sys.exit(f"no flow checkpoint resolved from {ckpt!r}")
-    params = jax.tree_util.tree_map(
-        jnp.asarray,
-        restore_flow_params(path, like=init_pwc_params_abstract(model)),
-    )
+    params, flow_cfg = load_flow_checkpoint(path, config.flownet)
+    import dataclasses
+
+    config = dataclasses.replace(config, flownet=flow_cfg)
+    model = PWCNet(config=flow_cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
     seq = SyntheticStereoSequence(
         height=h, width=w, fx=fx, n_frames=n_frames + 1
     )

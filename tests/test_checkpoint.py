@@ -61,3 +61,46 @@ def test_npz_roundtrip_fp16(tmp_path):
         np.testing.assert_allclose(
             np.asarray(x), np.asarray(y), atol=2e-3, rtol=2e-3
         )
+
+
+def test_load_flow_checkpoint_infers_architecture(tmp_path):
+    """Checkpoints are shape-self-describing: load_flow_checkpoint recovers
+    the decoder widths / pyramid / search_range from kernel shapes, so
+    slim/wide variants serve with zero width flags (the prototxt-travels-
+    with-caffemodel property of the reference's flow net)."""
+    import dataclasses
+
+    from moving_object_detector_tpu.utils.checkpoint import (
+        load_flow_checkpoint,
+    )
+
+    slim = FlowNetConfig(
+        feature_channels=(8, 16, 32, 48),
+        estimator_channels=(48, 32, 16),
+        context_channels=(32, 24, 16),
+        search_range=3,
+        pyramid_levels=4,
+        dtype="float32",
+    )
+    model = PWCNet(config=slim)
+    params = init_pwc_params(model, 32, 64)
+
+    for name in ("w.npz", "orbax_dir"):
+        path = str(tmp_path / name)
+        save_flow_params(path, params)
+        restored, cfg = load_flow_checkpoint(path, base_config=slim)
+        assert cfg == slim, cfg
+        # Non-architecture fields come from base, architecture from shapes.
+        base = dataclasses.replace(
+            FlowNetConfig(), dtype="float32", corr_backend="xla"
+        )
+        _, cfg2 = load_flow_checkpoint(path, base_config=base)
+        assert cfg2.estimator_channels == slim.estimator_channels
+        assert cfg2.feature_channels == slim.feature_channels
+        assert cfg2.context_channels == slim.context_channels
+        assert cfg2.search_range == 3 and cfg2.pyramid_levels == 4
+        assert cfg2.corr_backend == "xla"
+        # The restored tree drives a forward pass at the inferred config.
+        img = jnp.zeros((1, 32, 64, 1), jnp.float32)
+        full, _ = PWCNet(config=cfg2).apply(restored, img, img)
+        assert full.shape == (1, 32, 64, 2)
