@@ -55,6 +55,46 @@ def _octave_texture(key, h: int, w: int, octaves: int = 5) -> jnp.ndarray:
     return out / jnp.maximum(amp_total, 1e-6)
 
 
+def _smooth3(t: jnp.ndarray) -> jnp.ndarray:
+    """Separable 3-tap [0.25, 0.5, 0.25] blur with edge padding."""
+    p = jnp.pad(t, ((1, 1), (0, 0)), mode="edge")
+    t = 0.25 * p[:-2] + 0.5 * p[1:-1] + 0.25 * p[2:]
+    p = jnp.pad(t, ((0, 0), (1, 1)), mode="edge")
+    return 0.25 * p[:, :-2] + 0.5 * p[:, 1:-1] + 0.25 * p[:, 2:]
+
+
+def _cell_texture(key, h: int, w: int) -> jnp.ndarray:
+    """Cell-quantized "blocky" texture: random values nearest-neighbor
+    upsampled by a per-sample integer cell size (2-8 px), then blended a
+    random amount toward a 3-tap blur.
+
+    This family covers sharp, piecewise-constant, man-made imagery (tiles,
+    checkerboards, brick, screens) that octave value-noise cannot: its
+    gradients are ~10x stronger and concentrated on cell boundaries.
+    Measured gap it closes: a net trained on octave noise alone recovers a
+    6 px block motion on octave textures exactly (median u 6.19) but is
+    blind to the SAME motion on cell textures (median u 1.13) — the
+    end-to-end detection-quality gate failure of the pwc_v3 retrain."""
+    kg, kc, ks = jax.random.split(key, 3)
+    grid = jax.random.uniform(
+        kg, (h // 2 + 1, w // 2 + 1), jnp.float32, 0.05, 0.95
+    )
+    cell = jax.random.randint(kc, (), 2, 9)
+    tex = grid[jnp.arange(h) // cell][:, jnp.arange(w) // cell]
+    s = jax.random.uniform(ks, ())
+    return (1.0 - s) * tex + s * _smooth3(tex)
+
+
+def _any_texture(key, h: int, w: int) -> jnp.ndarray:
+    """Texture sampler: 65% multi-octave value noise (smooth, natural),
+    35% cell-quantized (sharp, man-made). Branch-free for jit/vmap."""
+    kp, ko, kc = jax.random.split(key, 3)
+    use_cell = jax.random.uniform(kp, ()) < 0.35
+    return jnp.where(
+        use_cell, _cell_texture(kc, h, w), _octave_texture(ko, h, w)
+    )
+
+
 def _rand_affine(key, h, w, max_shift, max_rot, max_log_scale):
     """Random similarity map phi: img1 coords -> img2 coords, about the
     image center. Returns the 2x2 linear part and translation (as (2,)
@@ -130,7 +170,7 @@ def generate_pair(
     mag = jnp.where(jax.random.uniform(kstat, ()) < 0.1, 0.0, mag)
 
     # --- background layer ---
-    bg_tex = _octave_texture(keys[0], h, w)
+    bg_tex = _any_texture(keys[0], h, w)
     bg_lin, bg_trans = _rand_affine(
         keys[1], h, w, mag * bg_max_shift, mag * 0.05, mag * 0.05
     )
@@ -149,7 +189,7 @@ def generate_pair(
     min_dim = min(h, w)
     for i in range(n_objects):
         kt, kp, km = keys[5 + 3 * i : 8 + 3 * i]
-        tex = _octave_texture(kt, h, w)
+        tex = _any_texture(kt, h, w)
         lin, trans = _rand_affine(
             kp, h, w, mag * max_shift, mag * 0.3, mag * 0.15
         )
@@ -164,8 +204,12 @@ def generate_pair(
             pk[1], (2,), minval=0.06 * min_dim, maxval=0.22 * min_dim
         )
         angle = jax.random.uniform(pk[2], (), minval=0.0, maxval=3.14159)
+        # Randomize boundary sharpness: real objects (and the synthetic
+        # scene's block) have hard edges; soft-only masks under-train the
+        # motion-boundary response.
+        soft = jax.random.uniform(pk[3], (), minval=0.25, maxval=1.5)
 
-        m1 = _ellipse_mask(xy, center, radii, angle)  # mask in img1
+        m1 = _ellipse_mask(xy, center, radii, angle, soft)  # mask in img1
         obj_flow = _apply_affine(lin, trans, xy) - xy
 
         img1 = m1 * tex + (1.0 - m1) * img1
@@ -175,7 +219,7 @@ def generate_pair(
         # evaluate both at phi^-1(y).
         ilin, itrans = _invert_affine(lin, trans)
         src = _apply_affine(ilin, itrans, xy)
-        m2 = _ellipse_mask(src, center, radii, angle)
+        m2 = _ellipse_mask(src, center, radii, angle, soft)
         tex2 = flow_ops.warp(
             tex[None, :, :, None], (src - xy)[None]
         )[0, :, :, 0]

@@ -48,6 +48,21 @@ def test_batch_and_determinism():
     assert float(jnp.abs(b1["img1"][0] - b1["img1"][1]).max()) > 0.05
 
 
+def test_texture_family_includes_sharp_cell_textures():
+    """The generator must cover BOTH smooth octave noise and sharp
+    cell-quantized textures: a net trained on octave noise alone is blind
+    to motion on blocky/tiled imagery (measured: 6 px block motion read as
+    1.1 px on the SyntheticStereoSequence textures — the pwc_v3 detection
+    gate failure). Sharp textures have ~10x stronger x-gradients."""
+    b = generate_batch(jax.random.PRNGKey(11), 32, 64, 96)
+    gx = np.abs(np.diff(np.asarray(b["img1"][..., 0]), axis=2)).mean(
+        axis=(1, 2)
+    )
+    assert gx.max() > 3.0 * gx.min(), gx
+    assert (gx > 0.02).any(), gx  # sharp family present
+    assert (gx < 0.02).any(), gx  # smooth family present
+
+
 def test_magnitude_mixture_keeps_static_scenes():
     """Every curriculum stage must keep zero/small motion in-distribution
     (the per-sample magnitude mixture with a 10% static floor): a
