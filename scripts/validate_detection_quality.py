@@ -9,8 +9,10 @@ checkpoint must (1) detect the moving block on most frames with the right
 velocity sign/magnitude, (2) produce ZERO detections whose center is off
 the object.
 
-Usage: python scripts/validate_detection_quality.py [ckpt] [h w frames]
-(defaults: bundled weights, 192x448, 10 frames). Exits nonzero on failure,
+Usage: python scripts/validate_detection_quality.py [ckpt] [h w frames [scale]]
+(defaults: bundled weights, 192x448, 10 frames, flow_input_scale=1). The
+optional 5th arg gates the flow_input_scale serving knob: flipping the
+config default to N requires a PASS at scale N. Exits nonzero on failure,
 so retrain recipes can gate on it. Runs anywhere (CPU ok at 192x448).
 """
 import os
@@ -28,6 +30,7 @@ def main():
     h = int(sys.argv[2]) if len(sys.argv) > 2 else 192
     w = int(sys.argv[3]) if len(sys.argv) > 3 else 448
     n_frames = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    flow_scale = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     from moving_object_detector_tpu.config import PipelineConfig
     from moving_object_detector_tpu.io.readers import SyntheticStereoSequence
@@ -40,7 +43,7 @@ def main():
     )
 
     fx = 300.0
-    config = PipelineConfig(height=h, width=w)
+    config = PipelineConfig(height=h, width=w, flow_input_scale=flow_scale)
     path = resolve_flow_checkpoint(ckpt)
     if not path:
         sys.exit(f"no flow checkpoint resolved from {ckpt!r}")
