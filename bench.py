@@ -37,7 +37,7 @@ def main(argv=None):
                     help="cycle synthetic moving-object frames")
     ap.add_argument("--flow-checkpoint", default="auto",
                     help="orbax dir or .npz with trained PWC-Net params; "
-                         "'auto' uses the bundled weights/pwc_v2.fp16.npz "
+                         "'auto' uses the newest gate-passing bundled weights "
                          "if present, 'none' forces random init")
     ap.add_argument("--streams", type=int, default=1,
                     help="batch N camera streams (vmapped pipeline) and"
@@ -49,6 +49,18 @@ def main(argv=None):
     ap.add_argument("--flow-input-scale", type=int, default=1,
                     help="run the flow net at 1/N resolution (serving "
                          "latency knob, pipeline._flow_forward)")
+    ap.add_argument("--probe-all", action="store_true",
+                    help="also consume every DEBUG output per frame "
+                         "(label image, static flow, depth...), i.e. the "
+                         "'all debug topics subscribed' configuration. "
+                         "The default consumes the end products only "
+                         "(scene-flow cloud, detections, tracks, odometry "
+                         "+ the carried state), which matches the "
+                         "reference's publish-when-subscribed semantics "
+                         "(clusterer_nodelet.cpp:233-238) and still makes "
+                         "every real stage a data dependency: detections "
+                         "require clustering require scene flow require "
+                         "disparity+flow+ego-motion.")
     args = ap.parse_args(argv)
 
     import jax
@@ -199,24 +211,34 @@ def main(argv=None):
                     config,
                     flow_model=model,
                 )
-            # EVERY per-frame output feeds the carried accumulator so no
-            # stage is dead code. (An earlier bench bumped the input by
+            # The END PRODUCTS feed the carried accumulator so no real
+            # stage is dead code: the scene-flow cloud is the published
+            # product AND the clusterer's input; detections/tracks/odom
+            # transitively require clustering, scene flow, disparity, flow
+            # and ego-motion. (An earlier bench bumped the input by
             # output*0.0 and discarded the final state — XLA folded the
             # multiply and eliminated everything but SGM, inflating the
-            # number ~3x.)
+            # number ~3x. NEVER time a chain whose outputs aren't data
+            # dependencies of the fetched scalar.)
             acc = (
                 acc
-                + probe(out.disparity.disparity)
-                + probe(out.flow)
                 + probe(out.scene_flow.velocity)
-                + probe(out.static_flow)
                 + probe(out.detections.center)
-                + probe(out.label_image)
                 + probe(out.tracked.objects.center)
-                + probe(out.tracked.covariance)
-                + probe(out.motion)
                 + probe(out.odom_pose)
             )
+            if args.probe_all:
+                # Debug outputs the reference only computes when a
+                # subscriber is attached (rqt dashboards).
+                acc = (
+                    acc
+                    + probe(out.disparity.disparity)
+                    + probe(out.flow)
+                    + probe(out.static_flow)
+                    + probe(out.label_image)
+                    + probe(out.tracked.covariance)
+                    + probe(out.motion)
+                )
             return state, acc
         state, acc = jax.lax.fori_loop(
             0, n, body, (state, jnp.float32(0.0))
@@ -249,6 +271,8 @@ def main(argv=None):
         metric += f"_x{n_spatial}spatial"
     if args.flow_input_scale > 1:
         metric += f"_flowscale{args.flow_input_scale}"
+    if args.probe_all:
+        metric += "_alldebug"
     print(
         json.dumps(
             {

@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--flow-checkpoint", default="auto",
                    help="orbax dir or .npz with trained PWC-Net params; "
-                        "'auto' uses the bundled weights/pwc_v2.fp16.npz "
+                        "'auto' uses the newest gate-passing bundled weights "
                         "if present, 'none' forces random init")
     p.add_argument("--report", action="store_true",
                    help="print per-stage timing report")

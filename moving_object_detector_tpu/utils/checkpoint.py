@@ -54,13 +54,21 @@ def save_flow_params_npz(path: str, params: Any) -> None:
 
 
 def default_flow_checkpoint() -> str | None:
-    """Path of the bundled trained flow weights (weights/pwc_v2.fp16.npz at
-    the repo root — the role of the reference's ``pwc_net.caffemodel``
-    symlink, dockerfile:108-111), or None if not present."""
+    """Path of the bundled trained flow weights (weights/ at the repo root —
+    the role of the reference's ``pwc_net.caffemodel`` symlink,
+    dockerfile:108-111), or None if not present.
+
+    pwc_v4 is the newest checkpoint that passes ALL bundled-weight gates
+    (tests/test_flow_quality.py EPE floor + static spurious + cell-texture
+    motion; scripts/validate_detection_quality.py end-to-end PASS). Older
+    versions remain as explicit-path fallbacks only."""
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    path = os.path.join(root, "weights", "pwc_v2.fp16.npz")
-    return path if os.path.exists(path) else None
+    for name in ("pwc_v4.fp16.npz", "pwc_v2.fp16.npz"):
+        path = os.path.join(root, "weights", name)
+        if os.path.exists(path):
+            return path
+    return None
 
 
 def resolve_flow_checkpoint(arg: str | None) -> str | None:

@@ -42,14 +42,33 @@ def main():
         resolve_flow_checkpoint,
     )
 
+    import dataclasses
+
     fx = 300.0
     config = PipelineConfig(height=h, width=w, flow_input_scale=flow_scale)
+    # Retune cluster_size for the eval resolution, exactly as a reference
+    # user would via dynamic_reconfigure (Clusterer.cfg:8): the default
+    # 2500 px minimum is calibrated to 1242x376 frames (0.54% of frame
+    # area); at 192x448 it demands a 2.9%-of-frame object and silently
+    # filters out the scene's 48x74 block even with perfect flow.
+    ref_frac = 2500.0 / (1242.0 * 376.0)
+    config = dataclasses.replace(
+        config,
+        clusterer=dataclasses.replace(
+            config.clusterer, cluster_size=max(50, int(ref_frac * h * w))
+        ),
+        # dynamic_flow_diff is in PIXELS (SceneFlowConstructor.cfg:8): the
+        # same physical motion spans w/1242 of its KITTI pixel count here.
+        scene_flow=dataclasses.replace(
+            config.scene_flow,
+            dynamic_flow_diff=config.scene_flow.dynamic_flow_diff
+            * (w / 1242.0),
+        ),
+    )
     path = resolve_flow_checkpoint(ckpt)
     if not path:
         sys.exit(f"no flow checkpoint resolved from {ckpt!r}")
     params, flow_cfg = load_flow_checkpoint(path, config.flownet)
-    import dataclasses
-
     config = dataclasses.replace(config, flownet=flow_cfg)
     model = PWCNet(config=flow_cfg)
     params = jax.tree_util.tree_map(jnp.asarray, params)
