@@ -236,7 +236,39 @@ def generate_pair(
     return img1[..., None], img2[..., None], flow
 
 
-@partial(jax.jit, static_argnames=("batch", "h", "w", "n_objects"))
+@partial(jax.jit, static_argnames=("h", "w", "n_objects"))
+def generate_pair_scale2(
+    key,
+    h: int,
+    w: int,
+    n_objects: int = 4,
+    max_shift: float = 24.0,
+    bg_max_shift: float = 10.0,
+):
+    """One example matching the ``flow_input_scale=2`` SERVING distribution
+    (pipeline._flow_forward): generate the scene at (2h, 2w) with doubled
+    motion bounds, then push images through the exact serving downsample
+    (antialiased ``jax.image.resize`` bilinear) and halve the flow.
+
+    At serving scale 2 the net sees ``resize(full_res_frame, 1/2)`` and must
+    predict ``flow_full(2x)/2``; nets trained only on natively generated
+    (h, w) scenes fail that distribution (pwc_v4 measured: EPE 1.06 at
+    scale 1 but 19.4 at scale 2 on the held-out batch) because downsampled
+    texture statistics — antialiased cells, halved gradients — are out of
+    distribution. ``max_shift`` bounds are in OUTPUT (half-res) pixels, so
+    curricula compose unchanged with generate_pair."""
+    img1, img2, flow = generate_pair(
+        key, 2 * h, 2 * w, n_objects, 2.0 * max_shift, 2.0 * bg_max_shift
+    )
+    img1 = jax.image.resize(img1[..., 0], (h, w), "bilinear")[..., None]
+    img2 = jax.image.resize(img2[..., 0], (h, w), "bilinear")[..., None]
+    flow = jax.image.resize(flow, (h, w, 2), "bilinear") * 0.5
+    return img1, img2, flow
+
+
+@partial(
+    jax.jit, static_argnames=("batch", "h", "w", "n_objects", "downsample_frac")
+)
 def generate_batch(
     key,
     batch: int,
@@ -245,13 +277,39 @@ def generate_batch(
     n_objects: int = 4,
     max_shift: float = 24.0,
     bg_max_shift: float = 10.0,
+    downsample_frac: float = 0.0,
 ):
     """dict(img1, img2, flow) with a leading batch axis, generated on
     device — drop-in for the training loop's batch source. ``max_shift`` /
     ``bg_max_shift`` bound the object/background translations (curriculum
-    knob: train small motions first)."""
+    knob: train small motions first). ``downsample_frac`` of the batch
+    (rounded, static) is drawn from the scale-2 serving distribution
+    (generate_pair_scale2) so the ``flow_input_scale=2`` knob stays in
+    distribution."""
+    n_ds = int(round(batch * float(downsample_frac)))
     keys = jax.random.split(key, batch)
-    img1, img2, flow = jax.vmap(
-        lambda k: generate_pair(k, h, w, n_objects, max_shift, bg_max_shift)
-    )(keys)
+    parts = []
+    if batch - n_ds > 0:
+        parts.append(
+            jax.vmap(
+                lambda k: generate_pair(
+                    k, h, w, n_objects, max_shift, bg_max_shift
+                )
+            )(keys[: batch - n_ds])
+        )
+    if n_ds > 0:
+        parts.append(
+            jax.vmap(
+                lambda k: generate_pair_scale2(
+                    k, h, w, n_objects, max_shift, bg_max_shift
+                )
+            )(keys[batch - n_ds:])
+        )
+    img1, img2, flow = (
+        parts[0]
+        if len(parts) == 1
+        else tuple(
+            jnp.concatenate([a, b], axis=0) for a, b in zip(*parts)
+        )
+    )
     return {"img1": img1, "img2": img2, "flow": flow}

@@ -136,6 +136,7 @@ def make_chunked_train_step(
     max_shift: float = 24.0,
     bg_max_shift: float = 10.0,
     pool: int = 0,
+    downsample_frac: float = 0.0,
 ):
     """Jit ``chunk`` train steps into ONE dispatch, with the training data
     generated on device (train/data_synth.py layered affine scenes) inside
@@ -171,7 +172,8 @@ def make_chunked_train_step(
                 jax.random.PRNGKey(17), jnp.mod(st.step, pool)
             )
         data = generate_batch(
-            k, batch, height, width, n_objects, max_shift, bg_max_shift
+            k, batch, height, width, n_objects, max_shift, bg_max_shift,
+            downsample_frac=downsample_frac,
         )
         data = jax.lax.with_sharding_constraint(
             data, {n: batch_sh for n in data}

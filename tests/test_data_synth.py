@@ -76,3 +76,52 @@ def test_magnitude_mixture_keeps_static_scenes():
     assert (peak < 0.1).mean() >= 0.03, peak.min()  # exact-static samples
     assert (peak < 8.0).mean() >= 0.2  # dense small-motion coverage
     assert peak.max() > 24.0  # the large-shift tail survives
+
+
+def test_scale2_samples_match_the_serving_downsample():
+    """generate_pair_scale2 must be bitwise the serving path applied to a
+    2x-res scene: pipeline._flow_forward downsamples with antialiased
+    bilinear jax.image.resize and halves flow magnitudes
+    (pipeline.py:124-139). Training on any OTHER downsample would optimize
+    a different distribution than the flow_input_scale=2 knob serves."""
+    from moving_object_detector_tpu.train.data_synth import (
+        generate_pair_scale2,
+    )
+
+    key = jax.random.PRNGKey(3)
+    h, w = 48, 80
+    i1, i2, fl = generate_pair_scale2(key, h, w, max_shift=12.0)
+    ri1, ri2, rfl = generate_pair(key, 2 * h, 2 * w, 4, 24.0, 20.0)
+    exp1 = jax.image.resize(ri1[..., 0], (h, w), "bilinear")[..., None]
+    expf = jax.image.resize(rfl, (h, w, 2), "bilinear") * 0.5
+    np.testing.assert_allclose(np.asarray(i1), np.asarray(exp1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fl), np.asarray(expf), atol=1e-6)
+    assert i1.shape == (h, w, 1) and fl.shape == (h, w, 2)
+    # Output-pixel flow bounds are preserved: doubled at 2x, halved back.
+    assert float(jnp.abs(fl).max()) <= 2.0 * 24.0
+
+
+def test_batch_downsample_frac_mixes_families():
+    """downsample_frac splits the batch between the native and scale-2
+    serving distributions with static shapes (jit-stable): the tail
+    ``round(frac*batch)`` samples come from generate_pair_scale2 under the
+    same per-sample key split, the head from generate_pair."""
+    from moving_object_detector_tpu.train.data_synth import (
+        generate_pair_scale2,
+    )
+
+    key = jax.random.PRNGKey(5)
+    b = generate_batch(key, 4, 48, 80, downsample_frac=0.5)
+    assert b["img1"].shape == (4, 48, 80, 1)
+    keys = jax.random.split(key, 4)
+    i1n, _, _ = generate_pair(keys[0], 48, 80, 4, 24.0, 10.0)
+    i1d, _, fld = generate_pair_scale2(keys[3], 48, 80, 4, 24.0, 10.0)
+    np.testing.assert_allclose(
+        np.asarray(b["img1"][0]), np.asarray(i1n), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["img1"][3]), np.asarray(i1d), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["flow"][3]), np.asarray(fld), atol=1e-4, rtol=1e-4
+    )
