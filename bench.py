@@ -46,9 +46,13 @@ def main(argv=None):
                     help="row-stripe the heavy perception of each stream "
                          "over K chips (needs streams*K devices; "
                          "parallel/spatial.py detect_step_streams_spatial)")
-    ap.add_argument("--flow-input-scale", type=int, default=1,
+    ap.add_argument("--flow-input-scale", type=int, default=0,
                     help="run the flow net at 1/N resolution (serving "
-                         "latency knob, pipeline._flow_forward)")
+                         "latency knob, pipeline._flow_forward). Default 0 "
+                         "= auto: 2 iff the resolved weights passed the "
+                         "scale-2 quality gates (stage E finetune — EPE "
+                         "floor + end-to-end detection PASS at both "
+                         "scales), else 1")
     ap.add_argument("--probe-all", action="store_true",
                     help="also consume every DEBUG output per frame "
                          "(label image, static flow, depth...), i.e. the "
@@ -75,17 +79,22 @@ def main(argv=None):
     from moving_object_detector_tpu.types import StereoModel
 
     h, w = 376, 1242
-    config = PipelineConfig(height=h, width=w,
-                            flow_input_scale=args.flow_input_scale)
-    stereo = StereoModel.create(
-        fx=721.5, fy=721.5, cx=w / 2.0, cy=h / 2.0, baseline=0.54
-    )
     from moving_object_detector_tpu.utils.checkpoint import (
+        flow_checkpoint_scale2_gated,
         load_flow_checkpoint,
         resolve_flow_checkpoint,
     )
 
     ckpt = resolve_flow_checkpoint(args.flow_checkpoint)
+    if args.flow_input_scale == 0:
+        # Auto: the half-res flow path is the default serving config only
+        # with weights that passed the scale-2 quality gates.
+        args.flow_input_scale = 2 if flow_checkpoint_scale2_gated(ckpt) else 1
+    config = PipelineConfig(height=h, width=w,
+                            flow_input_scale=args.flow_input_scale)
+    stereo = StereoModel.create(
+        fx=721.5, fy=721.5, cx=w / 2.0, cy=h / 2.0, baseline=0.54
+    )
     if ckpt:
         # Architecture comes from the checkpoint's kernel shapes (slim/wide
         # decoder variants bench without extra flags).

@@ -58,17 +58,33 @@ def default_flow_checkpoint() -> str | None:
     the role of the reference's ``pwc_net.caffemodel`` symlink,
     dockerfile:108-111), or None if not present.
 
-    pwc_v4 is the newest checkpoint that passes ALL bundled-weight gates
-    (tests/test_flow_quality.py EPE floor + static spurious + cell-texture
-    motion; scripts/validate_detection_quality.py end-to-end PASS). Older
-    versions remain as explicit-path fallbacks only."""
+    Preference order = newest checkpoint that passes ALL bundled-weight
+    gates (tests/test_flow_quality.py EPE floor + static spurious +
+    cell-texture motion; scripts/validate_detection_quality.py end-to-end
+    PASS). pwc_v4e additionally passes those gates at flow_input_scale=2
+    (stage E, scripts/finetune_flow_scale2.sh) — see
+    flow_checkpoint_scale2_gated. Older versions remain as explicit-path
+    fallbacks only."""
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    for name in ("pwc_v4.fp16.npz", "pwc_v2.fp16.npz"):
+    for name in ("pwc_v4e.fp16.npz", "pwc_v4.fp16.npz", "pwc_v2.fp16.npz"):
         path = os.path.join(root, "weights", name)
         if os.path.exists(path):
             return path
     return None
+
+
+def flow_checkpoint_scale2_gated(path: str | None) -> bool:
+    """True iff these weights passed the serving quality gates AT
+    flow_input_scale=2 (eval_flow_ckpt EPE floor + end-to-end
+    validate_detection_quality, both scales) — the precondition for
+    running the ~4x-cheaper half-res flow path by default. Keyed on the
+    bundled-weight version name, like the gate tests in
+    tests/test_flow_quality.py."""
+    if not path:
+        return False
+    base = os.path.basename(path)
+    return "pwc_v4e" in base or "pwc_v5" in base
 
 
 def resolve_flow_checkpoint(arg: str | None) -> str | None:

@@ -66,6 +66,56 @@ def test_bundled_weights_epe_floor():
     assert mean_epe < 0.5 * zero_epe, (mean_epe, zero_epe)
 
 
+def test_bundled_weights_epe_floor_scale2():
+    """The half-res serving knob (flow_input_scale=2) is only a default
+    with weights finetuned on the scale-2 serving distribution (stage E,
+    scripts/finetune_flow_scale2.sh): pwc_v4 scores EPE 1.06 at scale 1
+    but 19.4 at scale 2 on this batch. Locks the scale-2 floor for
+    checkpoints that claim the gate (utils.checkpoint.
+    flow_checkpoint_scale2_gated), xfails for the rest."""
+    from moving_object_detector_tpu.config import PipelineConfig
+    from moving_object_detector_tpu.eval import flow_epe
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet,
+        init_pwc_params_abstract,
+    )
+    from moving_object_detector_tpu.pipeline import _flow_forward
+    from moving_object_detector_tpu.train.data_synth import generate_batch
+    from moving_object_detector_tpu.utils.checkpoint import (
+        default_flow_checkpoint,
+        flow_checkpoint_scale2_gated,
+        restore_flow_params,
+    )
+
+    ckpt = default_flow_checkpoint()
+    if ckpt is None:
+        pytest.skip("no bundled weights")
+    if not flow_checkpoint_scale2_gated(ckpt):
+        pytest.xfail("bundled weights predate the stage-E scale-2 "
+                     "serving-distribution finetune")
+
+    cfg = PipelineConfig()
+    model = PWCNet(config=cfg.flownet)
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        restore_flow_params(ckpt, like=init_pwc_params_abstract(model)),
+    )
+
+    h, w = 192, 448
+    batch = generate_batch(jax.random.PRNGKey(0), 4, h, w)
+    epes = []
+    for i in range(4):
+        flow = _flow_forward(
+            params, model, batch["img1"][i, ..., 0],
+            batch["img2"][i, ..., 0], input_scale=2,
+        )
+        epes.append(
+            flow_epe(np.asarray(flow), np.asarray(batch["flow"][i]))["epe"]
+        )
+    mean_epe = float(np.mean(epes))
+    assert mean_epe < 4.5, f"scale-2 flow quality: EPE {mean_epe:.2f}"
+
+
 def test_default_weights_static_fine_texture():
     """The DEFAULT bundled weights must not hallucinate flow on a static
     fine-only-texture scene (failure mode 4a, PLAN_NEXT.md: v2 weights put
