@@ -66,6 +66,11 @@ def main(argv=None):
                          "require clustering require scene flow require "
                          "disparity+flow+ego-motion.")
     args = ap.parse_args(argv)
+    if args.flow_input_scale < 0:
+        ap.error(f"--flow-input-scale must be 0 (auto) or >= 1, "
+                 f"got {args.flow_input_scale}")
+    if args.streams < 1 or args.spatial < 1:
+        ap.error("--streams and --spatial must be >= 1")
 
     import jax
     import jax.numpy as jnp

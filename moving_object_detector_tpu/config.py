@@ -103,7 +103,12 @@ class SGMConfig:
     max_disparity: int = 128
     p1: int = 10
     p2: int = 120
-    census_window: Tuple[int, int] = (7, 7)  # (height, width), odd
+    # Census window (height, width), both odd. Windows beyond 32 census
+    # bits (e.g. 7x7 = 48 bits) are not supported: the transform packs
+    # into int32 and the Pallas v2 kernels assume the <=24-bit/5x5 cost
+    # ceiling (ops/sgm_pallas2.py). sgm_disparity_raw raises on oversize
+    # windows rather than silently clamping.
+    census_window: Tuple[int, int] = (5, 5)
     num_paths: int = 4  # horizontal fwd/bwd + vertical fwd/bwd
     lr_check: bool = True
     lr_max_diff: float = 1.0
@@ -141,6 +146,16 @@ class EgoMotionConfig:
     # flow (cheap gathers) instead of running per-feature LK (slow scattered
     # gathers on TPU). Standalone estimate_motion still supports LK.
     use_dense_flow: bool = True
+    # Redundancy policy for dense-flow mode: when the dense-correspondence
+    # RANSAC keeps fewer than lk_fallback_frac of the valid features as
+    # inliers (a corrupted/hallucinated flow field), re-derive the motion
+    # from independent pyramidal-LK tracks — the role of the reference's
+    # separate libviso2 matcher (scene_flow_constructor.cpp:230), which
+    # never shared a failure mode with the PWC flow. lax.cond keeps the LK
+    # path off the hot profile when the flow is healthy (note: under vmap
+    # — parallel/streams.py — both branches execute).
+    lk_fallback: bool = True
+    lk_fallback_frac: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -371,6 +371,7 @@ def estimate_motion(
     x3 = (pts[:, 0] - cam.cx) / cam.fx * z
     y3 = (pts[:, 1] - cam.cy) / cam.fy * z
     pts3d = jnp.stack([x3, y3, z], axis=1)
+    feat_valid_pre_track = feat_valid
 
     # 3. Track into the current frame.
     if dense_flow is not None:
@@ -394,8 +395,54 @@ def estimate_motion(
         tracked, track_ok = lk_track(prev_left, now_left, pts, cfg)
     feat_valid = feat_valid & track_ok
 
-    # 4. RANSAC: vmapped 3-point Gauss-Newton hypotheses.
-    n = cfg.max_features
+    motion, success, count = _ransac_gn_solve(
+        pts3d, tracked, feat_valid, cam, key, cfg
+    )
+
+    # Redundancy fallback (reference parity: libviso2 was an INDEPENDENT
+    # matcher, scene_flow_constructor.cpp:230 — its failures never
+    # correlated with the PWC flow's). If the dense-flow correspondences
+    # leave the RANSAC with a low inlier fraction — a corrupted or
+    # hallucinated flow field — re-derive the motion from pyramidal-LK
+    # tracks of the same features. lax.cond executes only the taken
+    # branch, so a healthy flow field never pays for LK.
+    if dense_flow is not None and cfg.lk_fallback:
+        # feat_valid here includes track_ok from the dense lookup; the LK
+        # path must restart from the pre-tracking validity.
+        feat_valid_base = feat_valid_pre_track
+
+        def lk_path(_):
+            # Features were selected with the dense-mode border (2 px);
+            # drop those whose LK patch reach crosses the frame edge —
+            # truncated patches track with a systematic bias.
+            h_, w_ = prev_left.shape
+            reach = cfg.lk_window * (2 ** (cfg.lk_pyramid_levels - 1)) + 2
+            in_reach = (
+                (pts[:, 0] >= reach) & (pts[:, 0] < w_ - reach)
+                & (pts[:, 1] >= reach) & (pts[:, 1] < h_ - reach)
+            )
+            tracked_l, ok_l = lk_track(prev_left, now_left, pts, cfg)
+            return _ransac_gn_solve(
+                pts3d, tracked_l, feat_valid_base & in_reach & ok_l,
+                cam, key, cfg,
+            )
+
+        n_valid = jnp.maximum(feat_valid.sum(), 1)
+        low_inliers = count < cfg.lk_fallback_frac * n_valid
+        motion, success, count = jax.lax.cond(
+            low_inliers,
+            lk_path,
+            lambda _: (motion, success, count),
+            operand=None,
+        )
+    return motion, success, count
+
+
+def _ransac_gn_solve(pts3d, tracked, feat_valid, cam, key, cfg):
+    """RANSAC (vmapped 3-point Gauss-Newton hypotheses) + two-pass inlier
+    refinement over fixed-size correspondence sets. Returns
+    (motion 4x4 f32, success bool, inlier_count int32)."""
+    n = pts3d.shape[0]
     weights_all = feat_valid.astype(jnp.float32)
 
     def one_hypothesis(k):
@@ -418,8 +465,8 @@ def estimate_motion(
     best = jnp.argmax(counts)
     best_inliers = inliers[best]
 
-    # 5. Final refinement on the best inlier set, then a second pass on a
-    # tightened inlier set: features whose LK track was corrupted near
+    # Final refinement on the best inlier set, then a second pass on a
+    # tightened inlier set: features whose track was corrupted near
     # moving-object boundaries can slip inside the RANSAC gate and bias the
     # first solution; re-gating at half the threshold removes them.
     tf = _solve_pose(

@@ -224,6 +224,94 @@ class ImageSequence:
 
 
 @dataclasses.dataclass
+class LiveDirectorySequence:
+    """Live streaming source: follow a pair of GROWING directories and
+    yield stereo frames as they appear — the live-camera role of the
+    reference's ZED feed (detect_with_zed.launch:1-55; zed_common.yaml
+    HD720@15fps), where a sensor keeps publishing while the pipeline runs.
+
+    A frame is emitted when BOTH sides of the next index exist and each
+    file's size has been stable across one poll interval (writers that
+    can't rename atomically are still consumed safely). Frames the
+    consumer misses are its own concern: feed this through a
+    PipelineRunner built with ``drop_oldest=True`` and ``ring_capacity=1``
+    for the reference's queue_size=1 drop-stale backpressure
+    (scene_flow_constructor.cpp:55-62 subscriber queues).
+
+    Termination: after ``idle_timeout`` seconds with no new frame, or as
+    soon as a ``stop_file`` appears (the rosnode-shutdown analog).
+    Timestamps are file mtimes relative to the first frame (falling back
+    to arrival order / fps spacing when mtime is non-monotonic).
+    """
+
+    left_dir: str
+    right_dir: str
+    fps: float = 10.0
+    poll_interval: float = 0.02
+    idle_timeout: float = 10.0
+    stop_file: str | None = None
+
+    def _stable_listing(self, d: str, sizes: dict) -> list[str]:
+        """Paths in ``d`` whose size is unchanged since the last poll."""
+        out = []
+        for p in sorted(glob.glob(os.path.join(d, "*"))):
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                continue  # disappeared between listing and stat
+            if sizes.get(p) == size:
+                out.append(p)
+            sizes[p] = size
+        return out
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
+        import time as _time
+
+        lsizes: dict = {}
+        rsizes: dict = {}
+        emitted = 0
+        t0: float | None = None
+        last_t = -1.0
+        last_new = _time.monotonic()
+        while True:
+            if self.stop_file and os.path.exists(self.stop_file):
+                return
+            lefts = self._stable_listing(self.left_dir, lsizes)
+            rights = self._stable_listing(self.right_dir, rsizes)
+            n_ready = min(len(lefts), len(rights))
+            if n_ready <= emitted:
+                if _time.monotonic() - last_new > self.idle_timeout:
+                    return
+                _time.sleep(self.poll_interval)
+                continue
+            for i in range(emitted, n_ready):
+                lp, rp = lefts[i], rights[i]
+                try:
+                    left, right = read_image(lp), read_image(rp)
+                except Exception:
+                    # Size stable across one poll yet undecodable: a writer
+                    # stalled mid-file longer than the poll interval. Force
+                    # both paths to re-stabilize and retry next poll (the
+                    # idle timeout still bounds a permanently-corrupt file).
+                    lsizes.pop(lp, None)
+                    rsizes.pop(rp, None)
+                    break
+                try:
+                    mtime = max(os.path.getmtime(lp), os.path.getmtime(rp))
+                except OSError:
+                    mtime = 0.0
+                if t0 is None:
+                    t0 = mtime
+                t = mtime - t0
+                if t <= last_t:  # non-monotonic mtimes: fps spacing
+                    t = last_t + 1.0 / self.fps
+                last_t = t
+                yield left, right, t
+                emitted = i + 1
+                last_new = _time.monotonic()
+
+
+@dataclasses.dataclass
 class NpzSequence:
     """Recorded sequence from a single .npz: arrays 'left' (N, H, W),
     'right' (N, H, W), optional 'time' (N,) — the rosbag analog."""
@@ -261,6 +349,8 @@ class SyntheticStereoSequence:
         fps=10.0,
         seed=0,
         n_frames=40,
+        bg_texture=None,
+        obj_texture=None,
     ):
         self.h, self.w = height, width
         self.fx = fx
@@ -273,12 +363,37 @@ class SyntheticStereoSequence:
         self.fps = fps
         self.n_frames = n_frames
         rng = np.random.default_rng(seed)
-        self.bg = self._texture(rng, height, width, cell=6)
-        self.obj = self._texture(rng, self.obj_h, self.obj_w, cell=3)
+        # bg/obj textures are injectable: tests/test_real_imagery.py renders
+        # the same scene geometry with REAL photographic textures
+        # (tests/fixtures/real_textures.npz) instead of the procedural ones.
+        self.bg = (
+            self._fit_texture(bg_texture, height, width)
+            if bg_texture is not None
+            else self._texture(rng, height, width, cell=6)
+        )
+        self.obj = (
+            self._fit_texture(obj_texture, self.obj_h, self.obj_w)
+            if obj_texture is not None
+            else self._texture(rng, self.obj_h, self.obj_w, cell=3)
+        )
         self.obj_y = height // 3
         self.obj_x0 = width // 6
         self.d_bg = fx * baseline / z_bg
         self.d_obj = fx * baseline / z_obj
+
+    @staticmethod
+    def _fit_texture(tex: np.ndarray, h: int, w: int) -> np.ndarray:
+        """Fit an arbitrary grayscale image to (h, w): tile if too small,
+        center-crop if too large. float32 [0, 1]."""
+        tex = np.asarray(tex, np.float32)
+        if tex.max() > 1.5:  # uint8-range input
+            tex = tex / 255.0
+        ry = -(-h // tex.shape[0])
+        rx = -(-w // tex.shape[1])
+        tiled = np.tile(tex, (ry, rx))
+        y0 = (tiled.shape[0] - h) // 2
+        x0 = (tiled.shape[1] - w) // 2
+        return tiled[y0:y0 + h, x0:x0 + w].copy()
 
     @staticmethod
     def _texture(rng, h, w, cell):

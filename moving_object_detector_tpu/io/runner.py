@@ -67,6 +67,7 @@ class PipelineRunner:
         export_every: int = 1,
         ring_capacity: int = 4,
         drop_oldest: bool = False,
+        reconfigure_file: Optional[str] = None,
     ):
         self.config = config
         self.stereo = stereo
@@ -81,6 +82,54 @@ class PipelineRunner:
         self.timer = StageTimer()
         if export_dir:
             os.makedirs(export_dir, exist_ok=True)
+        # Runtime reconfigure channel (the dynamic_reconfigure-server
+        # analog, SceneFlowConstructor.cfg / Clusterer.cfg /
+        # MovingObjectTracker.cfg callbacks): a watched JSON file whose
+        # keys are Tunables fields. Touched between frames -> new values
+        # ride into the already-compiled step as traced scalars (no
+        # recompile, tunables.py).
+        from ..tunables import Tunables
+
+        self.tunables = Tunables.from_config(config)
+        self.reconfigure_file = reconfigure_file
+        self._reconfigure_mtime: float = -1.0
+
+    def _maybe_reload_tunables(self) -> bool:
+        """Between frames: if the reconfigure file changed, apply its
+        values. Returns True when a reload was applied. Unknown keys and
+        malformed JSON are reported and skipped (a live tuning UI must
+        not be able to crash the pipeline)."""
+        path = self.reconfigure_file
+        if not path:
+            return False
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            return False  # not created yet
+        if mtime == self._reconfigure_mtime:
+            return False
+        self._reconfigure_mtime = mtime
+        import json
+
+        try:
+            with open(path) as f:
+                values = json.load(f)
+        except (OSError, ValueError) as e:
+            print(f"# reconfigure: unreadable {path}: {e}", flush=True)
+            return False
+        known = {
+            k: v for k, v in values.items()
+            if hasattr(self.tunables, k)
+        }
+        unknown = sorted(set(values) - set(known))
+        if unknown:
+            print(f"# reconfigure: ignoring unknown keys {unknown}",
+                  flush=True)
+        if not known:
+            return False
+        self.tunables = self.tunables.replace_values(**known)
+        print(f"# reconfigure: applied {known}", flush=True)
+        return True
 
     def _feeder(self, sequence: Iterable, token: "_RunToken"):
         try:
@@ -157,6 +206,7 @@ class PipelineRunner:
                         break
                     continue
                 left, right, t = frame
+                self._maybe_reload_tunables()
                 with self.timer.stage("dispatch"):
                     state, out = detect_step(
                         self.flow_params,
@@ -167,6 +217,7 @@ class PipelineRunner:
                         self.stereo,
                         self.config,
                         flow_model=self.flow_model,
+                        tunables=self.tunables,
                     )
                 # Harvest the previous frame while this one computes.
                 if pending is not None:

@@ -194,14 +194,46 @@ def _wta_scan(tot: jnp.ndarray):
     )
 
 
+def aggregate_diagonal(cost: jnp.ndarray, dx: int, reverse: bool, p1, p2):
+    """Aggregate along one DIAGONAL direction: a row scan whose carry is the
+    previous row's aggregated slice shifted by ``dx`` columns, so pixel
+    (y, x) sees predecessor (y∓1, x−dx). Border pixels with no predecessor
+    get a zero carry, which makes ``_dp_step`` reduce to the raw cost — the
+    SGM path-start condition. cost: (H, W, D)."""
+    h, w, d = cost.shape
+
+    def step(carry, c):
+        if dx == 1:
+            shifted = jnp.pad(carry, ((1, 0), (0, 0)))[:-1]
+        else:
+            shifted = jnp.pad(carry, ((0, 1), (0, 0)))[1:]
+        out = _dp_step(shifted, c, p1, p2)
+        return out, out
+
+    init = jnp.zeros((w, d), cost.dtype)
+    _, agg = jax.lax.scan(step, init, cost, reverse=reverse)
+    return agg
+
+
 def aggregate_cost_volume(cost: jnp.ndarray, cfg: SGMConfig) -> jnp.ndarray:
-    """Sum of directional aggregations (4 paths: 2 horizontal + 2 vertical)."""
+    """Sum of directional aggregations. ``cfg.num_paths`` = 4 (2 horizontal
+    + 2 vertical) or 8 (adds the 4 diagonals — the full aggregation of the
+    CUDA SGM lineage the reference consumed, SURVEY.md §2.3)."""
+    if cfg.num_paths not in (4, 8):
+        raise ValueError(f"SGMConfig.num_paths must be 4 or 8, got "
+                         f"{cfg.num_paths}")
     p1 = jnp.float32(cfg.p1)
     p2 = jnp.float32(cfg.p2)
     total = aggregate_path(cost, axis=1, reverse=False, p1=p1, p2=p2)
     total = total + aggregate_path(cost, axis=1, reverse=True, p1=p1, p2=p2)
     total = total + aggregate_path(cost, axis=0, reverse=False, p1=p1, p2=p2)
     total = total + aggregate_path(cost, axis=0, reverse=True, p1=p1, p2=p2)
+    if cfg.num_paths == 8:
+        for dx in (1, -1):
+            for rev in (False, True):
+                total = total + aggregate_diagonal(
+                    cost, dx=dx, reverse=rev, p1=p1, p2=p2
+                )
     return total
 
 
@@ -250,16 +282,47 @@ def sgm_disparity_raw(
     right = right.astype(jnp.float32)
     window = cfg.census_window
     if window[0] * window[1] - 1 > 32:
-        window = (5, 5)
+        raise ValueError(
+            f"census_window {window} needs {window[0] * window[1] - 1} "
+            "census bits; the int32 census transform and the Pallas v2 "
+            "cost kernels support at most 32 (e.g. (5, 5))."
+        )
     h, w = left.shape
     from . import resolve_auto_backend
 
+    if cfg.num_paths not in (4, 8):
+        raise ValueError(
+            f"SGMConfig.num_paths must be 4 or 8, got {cfg.num_paths}"
+        )
     backend = cfg.backend
     if backend == "auto":
-        # Further restricted: the v2 kernels are specialized to D=128.
+        # Further restricted: the v2 kernels are specialized to D=128 and
+        # aggregate the 4 horizontal/vertical paths only.
         backend = resolve_auto_backend(backend)
-        if backend == "pallas" and cfg.max_disparity != 128:
+        if backend == "pallas" and (
+            cfg.max_disparity != 128 or cfg.num_paths != 4
+        ):
+            import warnings
+
+            why = (
+                f"max_disparity={cfg.max_disparity} (kernels are "
+                f"specialized to 128)"
+                if cfg.max_disparity != 128
+                else f"num_paths={cfg.num_paths} (kernels aggregate the "
+                f"4 h/v paths; diagonals are XLA-only)"
+            )
+            warnings.warn(
+                f"SGM backend 'auto': Pallas v2 kernels do not support "
+                f"{why}; falling back to the XLA lax.scan backend "
+                f"(slower). Set backend='xla' explicitly to silence.",
+                stacklevel=2,
+            )
             backend = "xla"
+    if cfg.num_paths != 4 and backend.startswith("pallas"):
+        raise ValueError(
+            f"SGM Pallas kernels aggregate exactly 4 paths (h/v); "
+            f"num_paths={cfg.num_paths} requires backend='xla'."
+        )
 
     if backend in ("pallas", "pallas_interpret"):
         # v2: fused census-input kernels (ops/sgm_pallas2.py) — no cost

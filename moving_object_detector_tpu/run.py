@@ -26,10 +26,17 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--source", choices=["synthetic", "kitti", "npz"],
+    p.add_argument("--source", choices=["synthetic", "kitti", "npz", "live"],
                    default="synthetic")
-    p.add_argument("--left-dir", help="left image directory (kitti source)")
-    p.add_argument("--right-dir", help="right image directory (kitti source)")
+    p.add_argument("--left-dir",
+                   help="left image directory (kitti/live sources)")
+    p.add_argument("--right-dir",
+                   help="right image directory (kitti/live sources)")
+    p.add_argument("--idle-timeout", type=float, default=10.0,
+                   help="live source: stop after this many seconds with no "
+                        "new frames")
+    p.add_argument("--stop-file", default=None,
+                   help="live source: stop when this file appears")
     p.add_argument("--npz", help="recorded .npz sequence path")
     p.add_argument("--frames", type=int, default=20)
     p.add_argument("--height", type=int, default=376)
@@ -62,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "deterministic resume")
     p.add_argument("--resume-state", default=None,
                    help="orbax dir: resume from a --save-state snapshot")
+    p.add_argument("--reconfigure-file", default=None,
+                   help="watched JSON file of Tunables fields "
+                        "(dynamic_reconfigure analog): edits apply between "
+                        "frames with no recompile")
     return p
 
 
@@ -123,6 +134,14 @@ def main(argv=None) -> int:
             print("--left-dir/--right-dir required for kitti", file=sys.stderr)
             return 2
         seq = readers.ImageSequence(args.left_dir, args.right_dir, args.fps)
+    elif args.source == "live":
+        if not (args.left_dir and args.right_dir):
+            print("--left-dir/--right-dir required for live", file=sys.stderr)
+            return 2
+        seq = readers.LiveDirectorySequence(
+            args.left_dir, args.right_dir, fps=args.fps,
+            idle_timeout=args.idle_timeout, stop_file=args.stop_file,
+        )
     else:
         if not args.npz:
             print("--npz required", file=sys.stderr)
@@ -166,9 +185,15 @@ def main(argv=None) -> int:
         model = PWCNet(config=config.flownet)
         params = init_pwc_params(model, args.height, args.width)
 
+    # Live sources get the reference's queue_size=1 drop-stale semantics
+    # (scene_flow_constructor.cpp:55-62): when the pipeline can't keep up
+    # with the sensor, stale frames are dropped, not queued.
+    live = args.source == "live"
     runner = PipelineRunner(
         config, stereo, params, model,
         export_dir=args.export_dir, export_every=args.export_every,
+        ring_capacity=1 if live else 4, drop_oldest=live,
+        reconfigure_file=args.reconfigure_file,
     )
     if done > 0:
         # The file/synthetic sources restart from their first frame; fast

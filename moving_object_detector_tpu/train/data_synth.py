@@ -85,14 +85,101 @@ def _cell_texture(key, h: int, w: int) -> jnp.ndarray:
     return (1.0 - s) * tex + s * _smooth3(tex)
 
 
-def _any_texture(key, h: int, w: int) -> jnp.ndarray:
-    """Texture sampler: 65% multi-octave value noise (smooth, natural),
-    35% cell-quantized (sharp, man-made). Branch-free for jit/vmap."""
-    kp, ko, kc = jax.random.split(key, 3)
-    use_cell = jax.random.uniform(kp, ()) < 0.35
-    return jnp.where(
-        use_cell, _cell_texture(kc, h, w), _octave_texture(ko, h, w)
+# ---------------------------------------------------------------------------
+# Real-photo texture bank
+# ---------------------------------------------------------------------------
+# Procedural textures (octave noise + cell quantization) cover synthetic
+# imagery but NOT natural photographs: weights trained on them alone
+# hallucinate flow on real photos (measured 2026-08-19 on pwc_v4e: 60.9% of
+# static pixels over the 5 px gate / median 6.0 px on a real photograph,
+# tests/test_real_imagery.py). The bank holds real grayscale photos
+# (tests/fixtures/real_textures.npz — foliage, architecture, skin), tiled to
+# a fixed canvas so jit-static random crops/zooms sample natural image
+# statistics at several scales.
+
+_REAL_BANK = None
+_REAL_BANK_HW = (1024, 1920)
+
+
+def _real_bank():
+    """(N, 1024, 1920) f32 photo canvas as a HOST numpy array (a device
+    array cached at trace time would leak a tracer into the module global);
+    lazily loaded; None if the fixture is unavailable."""
+    global _REAL_BANK
+    if _REAL_BANK is None:
+        import os
+
+        import numpy as np
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "tests", "fixtures", "real_textures.npz",
+        )
+        if not os.path.exists(path):
+            _REAL_BANK = False
+            return None
+        data = np.load(path)
+        bh, bw = _REAL_BANK_HW
+        canvases = []
+        for k in data.files:
+            img = data[k].astype(np.float32) / 255.0
+            ry = -(-bh // img.shape[0])
+            rx = -(-bw // img.shape[1])
+            canvases.append(np.tile(img, (ry, rx))[:bh, :bw])
+        _REAL_BANK = np.stack(canvases)
+    return None if _REAL_BANK is False else _REAL_BANK
+
+
+def _real_texture(key, h: int, w: int) -> jnp.ndarray:
+    """Random crop of a random real photo, with random 2x zoom-out (when the
+    canvas allows), flips and photometric jitter. Requires h/w to fit the
+    bank canvas."""
+    bank = jnp.asarray(_real_bank())
+    n, bh, bw = bank.shape
+    ki, ky, kx, kz, kfl, kfu, kg, kv = jax.random.split(key, 8)
+    photo = bank[jax.random.randint(ki, (), 0, n)]
+    can_zoom = 2 * h <= bh and 2 * w <= bw
+    ch, cw = (2 * h, 2 * w) if can_zoom else (h, w)
+    y0 = jax.random.randint(ky, (), 0, bh - ch + 1)
+    x0 = jax.random.randint(kx, (), 0, bw - cw + 1)
+    crop = jax.lax.dynamic_slice(photo, (y0, x0), (ch, cw))
+    if can_zoom:
+        # 50% zoomed-out view (downsampled 2x crop): natural statistics at
+        # two scales, including the scale-2 serving regime.
+        tex = jnp.where(
+            jax.random.uniform(kz, ()) < 0.5,
+            jax.image.resize(crop, (h, w), "bilinear"),
+            crop[:h, :w],
+        )
+    else:
+        tex = crop
+    tex = jnp.where(jax.random.uniform(kfl, ()) < 0.5, tex[:, ::-1], tex)
+    tex = jnp.where(jax.random.uniform(kfu, ()) < 0.5, tex[::-1], tex)
+    # Photometric: random gamma + 15% value inversion.
+    gamma = jnp.exp(jax.random.uniform(kg, (), minval=-0.4, maxval=0.4))
+    tex = jnp.clip(tex, 1e-4, 1.0) ** gamma
+    return jnp.where(jax.random.uniform(kv, ()) < 0.15, 1.0 - tex, tex)
+
+
+def _any_texture(key, h: int, w: int, real_frac: float = 0.0) -> jnp.ndarray:
+    """Texture sampler: multi-octave value noise (smooth, synthetic) /
+    cell-quantized (sharp, man-made) / real photographs (natural,
+    ``real_frac`` of samples when the bank is available). Branch-free for
+    jit/vmap. ``real_frac`` is STATIC: the default 0 keeps the historical
+    distribution (the held-out gate batches in tests/test_flow_quality.py
+    stay fixed); training recipes opt in (scripts/finetune_flow_real.sh).
+    The non-real remainder splits 65/35 octave/cell."""
+    kp, ko, kc, kr = jax.random.split(key, 4)
+    u = jax.random.uniform(kp, ())
+    base = jnp.where(
+        u < 0.35 * (1.0 - real_frac),
+        _cell_texture(kc, h, w),
+        _octave_texture(ko, h, w),
     )
+    if real_frac <= 0.0 or _real_bank() is None or min(h, w) < 8:
+        return base
+    return jnp.where(u >= 1.0 - real_frac, _real_texture(kr, h, w), base)
 
 
 def _rand_affine(key, h, w, max_shift, max_rot, max_log_scale):
@@ -142,7 +229,7 @@ def _ellipse_mask(xy, center, radii, angle, soft: float = 1.0):
     return jax.nn.sigmoid((1.0 - d) * radii.min() / soft)
 
 
-@partial(jax.jit, static_argnames=("h", "w", "n_objects"))
+@partial(jax.jit, static_argnames=("h", "w", "n_objects", "real_frac"))
 def generate_pair(
     key,
     h: int,
@@ -150,6 +237,7 @@ def generate_pair(
     n_objects: int = 4,
     max_shift: float = 24.0,
     bg_max_shift: float = 10.0,
+    real_frac: float = 0.0,
 ):
     """One (img1, img2, flow) training example, all on device.
 
@@ -170,7 +258,7 @@ def generate_pair(
     mag = jnp.where(jax.random.uniform(kstat, ()) < 0.1, 0.0, mag)
 
     # --- background layer ---
-    bg_tex = _any_texture(keys[0], h, w)
+    bg_tex = _any_texture(keys[0], h, w, real_frac)
     bg_lin, bg_trans = _rand_affine(
         keys[1], h, w, mag * bg_max_shift, mag * 0.05, mag * 0.05
     )
@@ -189,7 +277,7 @@ def generate_pair(
     min_dim = min(h, w)
     for i in range(n_objects):
         kt, kp, km = keys[5 + 3 * i : 8 + 3 * i]
-        tex = _any_texture(kt, h, w)
+        tex = _any_texture(kt, h, w, real_frac)
         lin, trans = _rand_affine(
             kp, h, w, mag * max_shift, mag * 0.3, mag * 0.15
         )
@@ -236,7 +324,7 @@ def generate_pair(
     return img1[..., None], img2[..., None], flow
 
 
-@partial(jax.jit, static_argnames=("h", "w", "n_objects"))
+@partial(jax.jit, static_argnames=("h", "w", "n_objects", "real_frac"))
 def generate_pair_scale2(
     key,
     h: int,
@@ -244,6 +332,7 @@ def generate_pair_scale2(
     n_objects: int = 4,
     max_shift: float = 24.0,
     bg_max_shift: float = 10.0,
+    real_frac: float = 0.0,
 ):
     """One example matching the ``flow_input_scale=2`` SERVING distribution
     (pipeline._flow_forward): generate the scene at (2h, 2w) with doubled
@@ -258,7 +347,8 @@ def generate_pair_scale2(
     distribution. ``max_shift`` bounds are in OUTPUT (half-res) pixels, so
     curricula compose unchanged with generate_pair."""
     img1, img2, flow = generate_pair(
-        key, 2 * h, 2 * w, n_objects, 2.0 * max_shift, 2.0 * bg_max_shift
+        key, 2 * h, 2 * w, n_objects, 2.0 * max_shift, 2.0 * bg_max_shift,
+        real_frac,
     )
     img1 = jax.image.resize(img1[..., 0], (h, w), "bilinear")[..., None]
     img2 = jax.image.resize(img2[..., 0], (h, w), "bilinear")[..., None]
@@ -267,7 +357,10 @@ def generate_pair_scale2(
 
 
 @partial(
-    jax.jit, static_argnames=("batch", "h", "w", "n_objects", "downsample_frac")
+    jax.jit,
+    static_argnames=(
+        "batch", "h", "w", "n_objects", "downsample_frac", "real_frac"
+    ),
 )
 def generate_batch(
     key,
@@ -278,6 +371,7 @@ def generate_batch(
     max_shift: float = 24.0,
     bg_max_shift: float = 10.0,
     downsample_frac: float = 0.0,
+    real_frac: float = 0.0,
 ):
     """dict(img1, img2, flow) with a leading batch axis, generated on
     device — drop-in for the training loop's batch source. ``max_shift`` /
@@ -293,7 +387,7 @@ def generate_batch(
         parts.append(
             jax.vmap(
                 lambda k: generate_pair(
-                    k, h, w, n_objects, max_shift, bg_max_shift
+                    k, h, w, n_objects, max_shift, bg_max_shift, real_frac
                 )
             )(keys[: batch - n_ds])
         )
@@ -301,7 +395,7 @@ def generate_batch(
         parts.append(
             jax.vmap(
                 lambda k: generate_pair_scale2(
-                    k, h, w, n_objects, max_shift, bg_max_shift
+                    k, h, w, n_objects, max_shift, bg_max_shift, real_frac
                 )
             )(keys[batch - n_ds:])
         )

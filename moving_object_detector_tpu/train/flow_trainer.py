@@ -137,6 +137,7 @@ def make_chunked_train_step(
     bg_max_shift: float = 10.0,
     pool: int = 0,
     downsample_frac: float = 0.0,
+    real_frac: float = 0.0,
 ):
     """Jit ``chunk`` train steps into ONE dispatch, with the training data
     generated on device (train/data_synth.py layered affine scenes) inside
@@ -173,7 +174,7 @@ def make_chunked_train_step(
             )
         data = generate_batch(
             k, batch, height, width, n_objects, max_shift, bg_max_shift,
-            downsample_frac=downsample_frac,
+            downsample_frac=downsample_frac, real_frac=real_frac,
         )
         data = jax.lax.with_sharding_constraint(
             data, {n: batch_sh for n in data}

@@ -45,6 +45,11 @@ def build_parser():
                    help="max object translation (px) in generated scenes")
     p.add_argument("--bg-max-shift", type=float, default=10.0,
                    help="max background translation (px)")
+    p.add_argument("--real-frac", type=float, default=0.0,
+                   help="fraction of texture draws taken from the real-"
+                        "photo bank (tests/fixtures/real_textures.npz) — "
+                        "natural image statistics; 0 keeps the historical "
+                        "procedural-only distribution")
     p.add_argument("--downsample-frac", type=float, default=0.0,
                    help="fraction of each batch drawn from the scale-2 "
                         "serving distribution (generate_pair_scale2): "
@@ -150,7 +155,7 @@ def main(argv=None) -> int:
             model, tx, mesh, state, args.height, args.width, args.batch,
             chunk, n_objects=args.n_objects, max_shift=args.max_shift,
             bg_max_shift=args.bg_max_shift, pool=args.pool,
-            downsample_frac=args.downsample_frac,
+            downsample_frac=args.downsample_frac, real_frac=args.real_frac,
         )
         key = jax.random.PRNGKey(args.seed + 1)
         with mesh:

@@ -74,17 +74,26 @@ def default_flow_checkpoint() -> str | None:
     return None
 
 
+# Exact basenames of bundled weight archives that have passed BOTH
+# flow_input_scale=2 serving gates (eval_flow_ckpt EPE floor at 384x896
+# AND end-to-end validate_detection_quality at both scales). Add an entry
+# ONLY when both gates pass on that exact exported file — substring or
+# prefix matching would let ungated candidate exports (e.g.
+# /tmp/pwc_v4e_candidate.fp16.npz) claim the gate and silently serve at
+# half resolution.
+_SCALE2_GATED_BASENAMES = frozenset({"pwc_v4e.fp16.npz"})
+
+
 def flow_checkpoint_scale2_gated(path: str | None) -> bool:
     """True iff these weights passed the serving quality gates AT
     flow_input_scale=2 (eval_flow_ckpt EPE floor + end-to-end
     validate_detection_quality, both scales) — the precondition for
-    running the ~4x-cheaper half-res flow path by default. Keyed on the
-    bundled-weight version name, like the gate tests in
+    running the ~4x-cheaper half-res flow path by default. Keyed on an
+    exact allowlist of gated bundled basenames, like the gate tests in
     tests/test_flow_quality.py."""
     if not path:
         return False
-    base = os.path.basename(path)
-    return "pwc_v4e" in base or "pwc_v5" in base
+    return os.path.basename(path) in _SCALE2_GATED_BASENAMES
 
 
 def resolve_flow_checkpoint(arg: str | None) -> str | None:

@@ -71,6 +71,58 @@ def main():
           f">5px {(sm > 5).mean() * 100:.1f}% "
           f"(bundled baseline: 4.06 px / 35.7%)")
 
+    # 3. Magnitude-binned EPE on a LARGE-shift batch (max_shift 112):
+    # KITTI ego flows exceed 100 px near the camera; the curriculum ceiling
+    # historically left EPE 16+ beyond 24 px of GT (PLAN_NEXT item 4b).
+    big = generate_batch(jax.random.PRNGKey(7), 4, h, w, max_shift=112.0,
+                         bg_max_shift=48.0)
+    flows, gts = [], []
+    for i in range(4):
+        flows.append(np.asarray(_flow_forward(
+            params, model, big["img1"][i, ..., 0], big["img2"][i, ..., 0]
+        )))
+        gts.append(np.asarray(big["flow"][i]))
+    fl = np.stack(flows)
+    gt = np.stack(gts)
+    err = np.linalg.norm(fl - gt, axis=-1)
+    gmag = np.linalg.norm(gt, axis=-1)
+    print("large-motion EPE by |gt| bin:")
+    for lo, hi in ((0, 6), (6, 12), (12, 24), (24, 64), (64, 160)):
+        m = (gmag >= lo) & (gmag < hi)
+        if m.sum() == 0:
+            continue
+        print(f"  [{lo:3d},{hi:3d}) px: EPE {err[m].mean():7.2f} "
+              f"({m.mean() * 100:4.1f}% of px)")
+
+    # 4. Real-photo checks (tests/fixtures/real_textures.npz): static
+    # spurious rate + recovered known shift on natural image statistics.
+    fix = os.path.join(os.path.dirname(__file__), "..", "tests",
+                       "fixtures", "real_textures.npz")
+    if os.path.exists(fix):
+        from moving_object_detector_tpu.io.readers import (
+            SyntheticStereoSequence as _S,
+        )
+
+        data = np.load(fix)
+        for name in data.files:
+            img = _S._fit_texture(data[name].astype(np.float32) / 255.0,
+                                  h, w)
+            flz = np.asarray(_flow_forward(
+                params, model, jnp.asarray(img), jnp.asarray(img)
+            ))
+            m = np.linalg.norm(flz, axis=-1)
+            img2 = np.roll(img, 6, axis=1)
+            fls = np.asarray(_flow_forward(
+                params, model, jnp.asarray(img), jnp.asarray(img2)
+            ))
+            inner = fls[:, 14:-8]
+            epe6 = np.linalg.norm(
+                inner - np.array([6.0, 0.0], np.float32), axis=-1
+            ).mean()
+            print(f"real photo [{name}]: static median "
+                  f"{np.median(m):.2f} px / >5px {(m > 5).mean() * 100:.1f}%"
+                  f"; shift-6 EPE {epe6:.2f}")
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,82 @@
+#!/bin/bash
+# pwc_v5: real-photo textures + large-motion curriculum (VERDICT round-1
+# items 2 and 3).
+#
+# Two measured failure modes of pwc_v4e (2026-08-19):
+#   - REAL imagery: 60.9% of static real-photo pixels over the 5 px
+#     dynamic gate / median 6.0 px (tests/test_real_imagery.py) — the
+#     procedural texture generator never produced natural image
+#     statistics. Fix: --real-frac 0.3 draws textures from the
+#     real-photo bank (tests/fixtures/real_textures.npz).
+#   - Large motions: EPE 16+ beyond 24 px of GT while KITTI ego flows
+#     exceed 100 px near the camera (PLAN_NEXT item 4b). Fix: extend the
+#     magnitude curriculum to max_shift 112 at 192x448 and 128 at
+#     256x576 (eval gate: < 5 px EPE on the [24,64) px |gt| bin).
+#
+# Keeps --downsample-frac 0.4 throughout so the flow_input_scale=2
+# serving distribution (stage E) is not forgotten.
+#
+# Gates (ALL must pass before promotion to the default / the scale-2
+# allowlist / _REAL_TEXTURE_TRAINED):
+#   - eval_flow_ckpt 192x448: scale-1 EPE < 4.5, static spurious < 5%,
+#     [24,64) bin EPE < 5, real-photo static/shift checks;
+#   - eval_flow_ckpt 384x896: scale-2 EPE < 4.5 (the SERVED half-res
+#     distribution, PLAN_NEXT 2026-08-19b);
+#   - validate_detection_quality at scale 1 AND scale 2.
+#
+# Usage: scripts/train_flow_v5.sh [resume_ckpt]
+set -eu
+cd "$(dirname "$0")/.."
+RESUME=${1:-weights/pwc_v4e.fp16.npz}
+
+train() { timeout 14400 python -m moving_object_detector_tpu.train.train_flow "$@"; }
+score() { echo "== eval $* =="; timeout 2400 python scripts/eval_flow_ckpt.py "$@"; }
+
+echo "== tunnel probe =="
+timeout 120 python -c "import jax; print(jax.devices())" || {
+    echo "TPU tunnel down; aborting." >&2; exit 1; }
+
+echo "== stage R1: real-texture adaptation (192x448, shift 56) =="
+train --steps 5000 --batch 8 --height 192 --width 448 --lr 1e-4 --warmup 200 \
+    --max-shift 56 --bg-max-shift 28 --downsample-frac 0.4 --real-frac 0.3 \
+    --resume "$RESUME" --checkpoint checkpoints/pwc_v5.sR1 \
+    --save-every 1000 --seed 41
+score checkpoints/pwc_v5.sR1
+
+echo "== stage R2: magnitude extension (192x448, shift 112) =="
+train --steps 7000 --batch 8 --height 192 --width 448 --lr 8e-5 --warmup 200 \
+    --max-shift 112 --bg-max-shift 48 --downsample-frac 0.4 --real-frac 0.3 \
+    --resume checkpoints/pwc_v5.sR1 --checkpoint checkpoints/pwc_v5.sR2 \
+    --save-every 1000 --seed 42
+score checkpoints/pwc_v5.sR2
+
+echo "== stage R3: high-res polish (256x576, shift 128) =="
+train --steps 3000 --batch 6 --height 256 --width 576 --lr 5e-5 --warmup 100 \
+    --max-shift 128 --bg-max-shift 56 --downsample-frac 0.4 --real-frac 0.3 \
+    --resume checkpoints/pwc_v5.sR2 --checkpoint checkpoints/pwc_v5 \
+    --save-every 1000 --seed 43
+score checkpoints/pwc_v5
+score checkpoints/pwc_v5 384 896
+
+echo "== export CANDIDATE fp16 npz (promote only after gates) =="
+python - <<'PYEOF'
+import jax
+from moving_object_detector_tpu.config import PipelineConfig
+from moving_object_detector_tpu.utils.checkpoint import (
+    load_flow_checkpoint, save_flow_params_npz)
+params, cfg = load_flow_checkpoint("checkpoints/pwc_v5",
+                                   PipelineConfig().flownet)
+save_flow_params_npz("/tmp/pwc_v5_candidate.fp16.npz",
+                     jax.device_get(params))
+print("wrote /tmp/pwc_v5_candidate.fp16.npz", cfg.estimator_channels)
+PYEOF
+
+echo "== end-to-end detection gates (scale 1 AND scale 2) =="
+timeout 1800 python scripts/validate_detection_quality.py \
+    /tmp/pwc_v5_candidate.fp16.npz 192 448 10
+timeout 1800 python scripts/validate_detection_quality.py \
+    /tmp/pwc_v5_candidate.fp16.npz 192 448 10 2
+echo "== V5 CANDIDATE READY: check every gate above, then"
+echo "   cp /tmp/pwc_v5_candidate.fp16.npz weights/pwc_v5.fp16.npz"
+echo "   + add to default_flow_checkpoint preference, the scale-2"
+echo "   allowlist, and tests/test_real_imagery._REAL_TEXTURE_TRAINED =="

@@ -200,3 +200,76 @@ def test_dense_flow_rotation_and_translation(rng):
     assert success
     np.testing.assert_allclose(motion[:3, :3], rot, atol=3e-3)
     np.testing.assert_allclose(motion[:3, 3], t, atol=0.01)
+
+
+def _corrupted_flow(rng):
+    """Adversarially corrupted dense field: a smooth but WRONG large-scale
+    pattern (the hallucinated-flow failure mode) plus per-pixel noise —
+    nothing in it is consistent with any rigid motion of the plane."""
+    coarse = rng.uniform(-25.0, 25.0, (H // 16, W // 16, 2)).astype(np.float32)
+    flow = np.kron(coarse, np.ones((16, 16, 1), np.float32))[:H, :W]
+    flow += rng.uniform(-3.0, 3.0, (H, W, 2)).astype(np.float32)
+    return jnp.asarray(flow)
+
+
+def test_dense_flow_corrupted_no_fallback_fails(rng):
+    """Without the LK fallback, a corrupted flow field sinks the dense
+    mode: the single-point-of-failure the reference never had (its viso2
+    matcher was independent of the PWC flow,
+    scene_flow_constructor.cpp:230)."""
+    import dataclasses
+
+    prev = textured(rng)
+    t = [0.05, 0.0, 0.02]
+    rot = np.eye(3)
+    now = warp_by_motion(prev, rot, np.asarray(t))
+    d = FX * BASELINE / Z0
+    disp = DisparityImage.create(
+        np.full((H, W), d, np.float32), f=FX, t=BASELINE,
+        min_disparity=0.0, max_disparity=128.0,
+    )
+    cfg = dataclasses.replace(CFG, lk_fallback=False)
+    motion, success, count = egomotion.estimate_motion(
+        jnp.asarray(prev), jnp.asarray(now), disp, CAM,
+        jax.random.PRNGKey(0), cfg, dense_flow=_corrupted_flow(rng),
+    )
+    # Either outright failure or a grossly wrong translation — it must NOT
+    # silently produce the true motion from garbage correspondences.
+    wrong = (not bool(success)) or (
+        np.linalg.norm(np.asarray(motion)[:3, 3] - t) > 0.02
+    )
+    assert wrong
+
+
+def test_dense_flow_corrupted_lk_fallback_recovers(rng):
+    """With lk_fallback (default), the same corrupted field triggers the
+    independent LK re-derivation, which recovers the true motion — the
+    redundancy policy documented in EgoMotionConfig."""
+    prev = textured(rng)
+    t = [0.05, 0.0, 0.02]
+    rot = np.eye(3)
+    now = warp_by_motion(prev, rot, np.asarray(t))
+    d = FX * BASELINE / Z0
+    disp = DisparityImage.create(
+        np.full((H, W), d, np.float32), f=FX, t=BASELINE,
+        min_disparity=0.0, max_disparity=128.0,
+    )
+    assert CFG.lk_fallback
+    motion, success, count = egomotion.estimate_motion(
+        jnp.asarray(prev), jnp.asarray(now), disp, CAM,
+        jax.random.PRNGKey(0), CFG, dense_flow=_corrupted_flow(rng),
+    )
+    assert bool(success)
+    np.testing.assert_allclose(np.asarray(motion)[:3, :3], rot, atol=3e-3)
+    np.testing.assert_allclose(np.asarray(motion)[:3, 3], t, atol=0.01)
+
+
+def test_dense_flow_healthy_not_degraded_by_fallback(rng):
+    """A healthy flow field must take the dense branch (high inlier
+    fraction): same result with the fallback armed as without."""
+    rotvec = [0.004, -0.008, 0.005]
+    t = [0.02, -0.015, 0.04]
+    motion, success, count, rot = run_dense_case(rng, rotvec, t)
+    assert success
+    np.testing.assert_allclose(motion[:3, :3], rot, atol=3e-3)
+    np.testing.assert_allclose(motion[:3, 3], t, atol=0.01)

@@ -107,18 +107,91 @@ def test_bundled_weights_epe_floor_scale2():
     )
 
     h, w = 384, 896
-    batch = generate_batch(jax.random.PRNGKey(0), 2, h, w)
-    epes = []
-    for i in range(2):
+    batch = generate_batch(jax.random.PRNGKey(0), 4, h, w)
+    epes, zero_epes = [], []
+    for i in range(4):
         flow = _flow_forward(
             params, model, batch["img1"][i, ..., 0],
             batch["img2"][i, ..., 0], input_scale=2,
         )
-        epes.append(
-            flow_epe(np.asarray(flow), np.asarray(batch["flow"][i]))["epe"]
-        )
+        gt = np.asarray(batch["flow"][i])
+        epes.append(flow_epe(np.asarray(flow), gt)["epe"])
+        zero_epes.append(flow_epe(np.zeros_like(gt), gt)["epe"])
     mean_epe = float(np.mean(epes))
+    zero_epe = float(np.mean(zero_epes))
     assert mean_epe < 4.5, f"scale-2 flow quality: EPE {mean_epe:.2f}"
+    # Sanity: the half-res predictions do real work vs predict-zero.
+    assert mean_epe < 0.5 * zero_epe, (mean_epe, zero_epe)
+
+
+def test_bundled_weights_large_motion_bins():
+    """Magnitude-binned EPE gate (VERDICT round-1 item 3): KITTI ego
+    flows exceed 100 px near the camera while the historical curriculum
+    ceiling left EPE 16+ beyond 24 px of GT (PLAN_NEXT item 4b). On a
+    max_shift=112 batch the [24,64) px |gt| bin must score EPE < 5 and
+    the [64,160) bin must beat predict-zero by 2x (a net that collapses
+    to zero flow on large motions fails both).
+
+    xfails for weights that predate the large-motion curriculum
+    (scripts/train_flow_v5.sh)."""
+    from moving_object_detector_tpu.config import PipelineConfig
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet,
+        init_pwc_params_abstract,
+    )
+    from moving_object_detector_tpu.pipeline import _flow_forward
+    from moving_object_detector_tpu.train.data_synth import generate_batch
+    from moving_object_detector_tpu.utils.checkpoint import (
+        default_flow_checkpoint,
+        restore_flow_params,
+    )
+
+    ckpt = default_flow_checkpoint()
+    if ckpt is None:
+        pytest.skip("no bundled weights")
+    if os.path.basename(ckpt) not in _LARGE_MOTION_TRAINED:
+        pytest.xfail("bundled weights predate the large-motion curriculum "
+                     "(max_shift 112+, scripts/train_flow_v5.sh)")
+
+    cfg = PipelineConfig()
+    model = PWCNet(config=cfg.flownet)
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        restore_flow_params(ckpt, like=init_pwc_params_abstract(model)),
+    )
+
+    h, w = 192, 448
+    batch = generate_batch(jax.random.PRNGKey(7), 4, h, w,
+                           max_shift=112.0, bg_max_shift=48.0)
+    errs, gmags = [], []
+    for i in range(4):
+        flow = np.asarray(_flow_forward(
+            params, model, batch["img1"][i, ..., 0], batch["img2"][i, ..., 0]
+        ))
+        gt = np.asarray(batch["flow"][i])
+        errs.append(np.linalg.norm(flow - gt, axis=-1))
+        gmags.append(np.linalg.norm(gt, axis=-1))
+    err = np.stack(errs)
+    gmag = np.stack(gmags)
+
+    mid = (gmag >= 24.0) & (gmag < 64.0)
+    assert mid.sum() > 1000, "batch has too few mid-magnitude pixels"
+    mid_epe = float(err[mid].mean())
+    assert mid_epe < 5.0, f"[24,64) px bin EPE {mid_epe:.2f}"
+
+    big = (gmag >= 64.0) & (gmag < 160.0)
+    if big.sum() > 1000:
+        big_epe = float(err[big].mean())
+        zero_epe = float(gmag[big].mean())
+        assert big_epe < 0.5 * zero_epe, (
+            f"[64,160) bin EPE {big_epe:.2f} vs predict-zero {zero_epe:.2f}"
+        )
+
+
+# Bundled-weight versions trained with the extended magnitude curriculum
+# (max_shift >= 112 at 192x448). Add a basename ONLY when the binned gate
+# above passes on that exact exported file.
+_LARGE_MOTION_TRAINED = frozenset()
 
 
 def test_default_weights_static_fine_texture():

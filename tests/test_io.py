@@ -606,3 +606,164 @@ def test_make_report(tmp_path):
     assert "frame 0" in page and "000000_clusters.png" in page
     assert "det" in page and "+1.00" in page
     assert (tmp_path / "000000_flow.png").exists()
+
+
+def _write_stereo_frame(ldir, rdir, k, h=8, w=10, partial_delay=0.0):
+    """Write frame k as 8-bit PGMs (optionally with a slow two-part write
+    to exercise the size-stability gate)."""
+    img = (np.full((h, w), (k * 10) % 250, np.uint8))
+    header = b"P5\n%d %d\n255\n" % (w, h)
+    for d, arr in ((ldir, img), (rdir, img)):
+        path = os.path.join(d, f"{k:06d}.pgm")
+        with open(path, "wb") as f:
+            f.write(header)
+            if partial_delay:
+                f.flush()
+                time.sleep(partial_delay)
+            f.write(arr.tobytes())
+
+
+import time  # noqa: E402
+
+
+def test_live_directory_sequence_follows_growth(tmp_path):
+    """LiveDirectorySequence must pick up frames written AFTER iteration
+    starts (the live-camera role, detect_with_zed.launch) and terminate on
+    idle timeout."""
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir)
+    os.makedirs(rdir)
+    _write_stereo_frame(ldir, rdir, 0)
+
+    def writer():
+        for k in range(1, 4):
+            time.sleep(0.15)
+            _write_stereo_frame(ldir, rdir, k)
+
+    th = threading.Thread(target=writer)
+    th.start()
+    seq = readers.LiveDirectorySequence(
+        ldir, rdir, fps=10.0, poll_interval=0.02, idle_timeout=1.5
+    )
+    frames = list(seq)  # returns via idle timeout after the writer stops
+    th.join()
+    assert len(frames) == 4
+    # Values prove ordering (frame k is a constant (k*10)%250 image).
+    for k, (left, right, t) in enumerate(frames):
+        np.testing.assert_allclose(left, ((k * 10) % 250) / 255.0, atol=1e-6)
+        np.testing.assert_allclose(right, left)
+    # Timestamps strictly increase.
+    times = [t for _, _, t in frames]
+    assert all(b > a for a, b in zip(times, times[1:]))
+
+
+def test_live_directory_sequence_waits_for_stable_and_paired(tmp_path):
+    """A half-written file (size still changing) or a left frame whose right
+    side hasn't arrived yet must NOT be emitted early."""
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir)
+    os.makedirs(rdir)
+
+    got = []
+
+    def writer():
+        time.sleep(0.1)
+        # Slow write: the file exists at partial size for 0.3 s.
+        _write_stereo_frame(ldir, rdir, 0, partial_delay=0.3)
+        # Left of frame 1 arrives long before its right pair.
+        _write_stereo_frame(ldir, ldir + "_hold", 1)
+        time.sleep(0.3)
+        os.rename(
+            os.path.join(ldir + "_hold", "000001.pgm"),
+            os.path.join(rdir, "000001.pgm"),
+        )
+
+    os.makedirs(ldir + "_hold")
+    th = threading.Thread(target=writer)
+    th.start()
+    for left, right, t in readers.LiveDirectorySequence(
+        ldir, rdir, poll_interval=0.02, idle_timeout=1.0
+    ):
+        # Emitted frames are complete: full image size, both sides equal.
+        assert left.shape == (8, 10)
+        np.testing.assert_allclose(left, right)
+        got.append(t)
+    th.join()
+    assert len(got) == 2
+
+
+def test_live_directory_sequence_stop_file(tmp_path):
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir)
+    os.makedirs(rdir)
+    _write_stereo_frame(ldir, rdir, 0)
+    stop = str(tmp_path / "STOP")
+
+    def stopper():
+        time.sleep(0.2)
+        open(stop, "w").close()
+
+    th = threading.Thread(target=stopper)
+    t0 = time.monotonic()
+    th.start()
+    frames = list(readers.LiveDirectorySequence(
+        ldir, rdir, poll_interval=0.02, idle_timeout=30.0, stop_file=stop
+    ))
+    th.join()
+    # Stopped via the stop file (well before the 30 s idle timeout).
+    assert time.monotonic() - t0 < 5.0
+    assert len(frames) == 1
+
+
+def test_runner_live_source_end_to_end(tmp_path):
+    """A writer thread feeding a live directory drives the full pipeline
+    (tiny preset) through PipelineRunner with drop-oldest backpressure —
+    the detect_with_zed.launch role as a demo-able test."""
+    from moving_object_detector_tpu.config import (
+        EgoMotionConfig, FlowNetConfig, PipelineConfig, SGMConfig,
+    )
+    from moving_object_detector_tpu.io.runner import PipelineRunner
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet, init_pwc_params,
+    )
+    from moving_object_detector_tpu.types import StereoModel
+
+    h, w = 32, 64
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(ldir)
+    os.makedirs(rdir)
+
+    def writer():
+        for k in range(5):
+            _write_stereo_frame(ldir, rdir, k, h=h, w=w)
+            time.sleep(0.05)
+
+    config = PipelineConfig(
+        height=h, width=w,
+        flownet=FlowNetConfig(
+            feature_channels=(8, 16, 32), search_range=2,
+            use_context_net=False, dtype="float32",
+        ),
+        sgm=SGMConfig(max_disparity=16),
+        egomotion=EgoMotionConfig(
+            max_features=64, nms_radius=2, ransac_hypotheses=8,
+            lk_pyramid_levels=1, min_inliers=4,
+        ),
+    )
+    stereo = StereoModel.create(fx=50.0, fy=50.0, cx=w / 2, cy=h / 2,
+                                baseline=0.5)
+    model = PWCNet(config=config.flownet)
+    params = init_pwc_params(model, h, w)
+    runner = PipelineRunner(config, stereo, params, model,
+                            ring_capacity=1, drop_oldest=True)
+    th = threading.Thread(target=writer)
+    th.start()
+    seq = readers.LiveDirectorySequence(
+        ldir, rdir, poll_interval=0.02, idle_timeout=2.0
+    )
+    results = runner.run(seq)
+    th.join()
+    # At least one frame processed; with drop-oldest some may be skipped,
+    # never more than were written.
+    assert 1 <= len(results) <= 5
+    assert results[-1].frame_valid in (True, False)

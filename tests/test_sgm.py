@@ -147,3 +147,79 @@ def test_subpixel_fractional_disparity(rng):
     assert np.abs(np.median(v) - d_true) < 0.5
     # Subpixel: a meaningful share of estimates are non-integer.
     assert (np.abs(v - np.round(v)) > 0.05).mean() > 0.3
+
+
+def _brute_force_diagonal(cost, dy, dx, p1, p2):
+    """O(H*W*D^2) reference diagonal SGM aggregation (path direction
+    (dy, dx); predecessor of (y, x) is (y-dy, x-dx))."""
+    h, w, d = cost.shape
+    agg = np.zeros_like(cost)
+    ys = range(h) if dy > 0 else range(h - 1, -1, -1)
+    for y in ys:
+        for x in range(w):
+            py, px = y - dy, x - dx
+            if 0 <= py < h and 0 <= px < w:
+                prev = agg[py, px]
+                pmin = prev.min()
+                best = np.empty(d)
+                for k in range(d):
+                    cands = [prev[k], pmin + p2]
+                    if k > 0:
+                        cands.append(prev[k - 1] + p1)
+                    if k < d - 1:
+                        cands.append(prev[k + 1] + p1)
+                    best[k] = min(cands)
+                agg[y, x] = cost[y, x] + best - pmin
+            else:
+                agg[y, x] = cost[y, x]
+    return agg
+
+
+def test_diagonal_aggregation_matches_brute_force(rng):
+    h, w, d = 10, 12, 6
+    cost = rng.uniform(0.0, 20.0, (h, w, d)).astype(np.float32)
+    p1, p2 = 2.0, 9.0
+    for dy, rev in ((1, False), (-1, True)):
+        for dx in (1, -1):
+            got = np.asarray(sgm.aggregate_diagonal(
+                jnp.asarray(cost), dx=dx, reverse=rev,
+                p1=jnp.float32(p1), p2=jnp.float32(p2),
+            ))
+            want = _brute_force_diagonal(cost, dy, dx, p1, p2)
+            np.testing.assert_allclose(got, want, atol=1e-5,
+                                       err_msg=f"dy={dy} dx={dx}")
+
+
+def test_eight_path_constant_plane(rng):
+    """8-path aggregation (num_paths=8, the full CUDA-SGM-lineage path set,
+    SURVEY.md §2.3) still recovers a constant-disparity plane and keeps
+    validity coverage."""
+    h, w, d_true = 48, 64, 7
+    left = textured_image(h, w, rng)
+    right = shift_right_image(left, d_true)
+    cfg = dataclasses.replace(CFG, num_paths=8, backend="xla")
+    disp = np.asarray(
+        sgm.sgm_disparity_raw(jnp.asarray(left), jnp.asarray(right), cfg)
+    )
+    region = disp[2:-2, d_true + 2 : -2]
+    valid = region >= 0
+    assert valid.mean() > 0.9
+    np.testing.assert_allclose(region[valid], d_true, atol=0.51)
+
+
+def test_eight_path_pallas_raises():
+    import pytest as _pytest
+
+    cfg = dataclasses.replace(CFG, num_paths=8, backend="pallas")
+    left = jnp.zeros((16, 32), jnp.float32)
+    with _pytest.raises(ValueError, match="num_paths"):
+        sgm.sgm_disparity_raw(left, left, cfg)
+
+
+def test_bad_num_paths_raises():
+    import pytest as _pytest
+
+    cfg = dataclasses.replace(CFG, num_paths=6)
+    left = jnp.zeros((16, 32), jnp.float32)
+    with _pytest.raises(ValueError, match="num_paths"):
+        sgm.sgm_disparity_raw(left, left, cfg)

@@ -77,3 +77,50 @@ def test_cluster_size_tunable():
     )
     assert np.asarray(obj_small.valid).sum() == 1
     assert np.asarray(obj_big.valid).sum() == 0
+
+
+def test_runner_reconfigure_file(tmp_path):
+    """The runtime reconfigure channel (dynamic_reconfigure-server analog):
+    a watched JSON file applies Tunables between frames; unknown keys and
+    malformed JSON are skipped without crashing."""
+    import json
+    import os
+    import time
+
+    from moving_object_detector_tpu.config import PipelineConfig
+    from moving_object_detector_tpu.io.runner import PipelineRunner
+    from moving_object_detector_tpu.types import StereoModel
+
+    cfg = PipelineConfig(height=16, width=32)
+    stereo = StereoModel.create(fx=50.0, fy=50.0, cx=16, cy=8, baseline=0.5)
+    path = str(tmp_path / "tunables.json")
+    runner = PipelineRunner(cfg, stereo, reconfigure_file=path)
+
+    # No file yet: nothing applied.
+    assert not runner._maybe_reload_tunables()
+    assert abs(float(runner.tunables.dynamic_speed)
+               - cfg.clusterer.dynamic_speed) < 1e-6
+
+    with open(path, "w") as f:
+        json.dump({"dynamic_speed": 1.25, "cluster_size": 64,
+                   "not_a_tunable": 7}, f)
+    assert runner._maybe_reload_tunables()
+    assert abs(float(runner.tunables.dynamic_speed) - 1.25) < 1e-6
+    assert int(runner.tunables.cluster_size) == 64
+    # Unchanged mtime: no reapply.
+    assert not runner._maybe_reload_tunables()
+
+    # Malformed JSON must not crash or change values.
+    time.sleep(0.01)
+    with open(path, "w") as f:
+        f.write("{broken")
+    os.utime(path, (time.time() + 1, time.time() + 1))
+    assert not runner._maybe_reload_tunables()
+    assert abs(float(runner.tunables.dynamic_speed) - 1.25) < 1e-6
+
+    # A further edit applies again.
+    with open(path, "w") as f:
+        json.dump({"dynamic_flow_diff": 2.5}, f)
+    os.utime(path, (time.time() + 2, time.time() + 2))
+    assert runner._maybe_reload_tunables()
+    assert abs(float(runner.tunables.dynamic_flow_diff) - 2.5) < 1e-6
