@@ -123,6 +123,11 @@ def _real_bank():
         bh, bw = _REAL_BANK_HW
         canvases = []
         for k in data.files:
+            if k.startswith("heldout_"):
+                # Held-out photos back the NON-circular real-imagery
+                # tests (tests/test_real_imagery.py); training never
+                # sees them.
+                continue
             img = data[k].astype(np.float32) / 255.0
             ry = -(-bh // img.shape[0])
             rx = -(-bw // img.shape[1])

@@ -25,6 +25,17 @@ SOURCES = {
               "images/flower.jpg",
     "hopper": "/opt/venv/lib/python3.12/site-packages/matplotlib/"
               "mpl-data/sample_data/grace_hopper.jpg",
+    # HELD-OUT real photos (pygame docs/examples: a webcam indoor scene
+    # and two outdoor photographs). The ``heldout_`` prefix EXCLUDES them
+    # from the training texture bank (train/data_synth._real_bank), so
+    # the real-imagery tests that use them score texture statistics the
+    # net never trained on — non-circular real-data validation.
+    "heldout_camera": "/opt/venv/lib/python3.12/site-packages/pygame/"
+                      "docs/generated/_images/camera_rgb.jpg",
+    "heldout_blade": "/opt/venv/lib/python3.12/site-packages/pygame/"
+                     "docs/generated/_images/intro_blade.jpg",
+    "heldout_freedom": "/opt/venv/lib/python3.12/site-packages/pygame/"
+                       "docs/generated/_images/intro_freedom.jpg",
 }
 
 

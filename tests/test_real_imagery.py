@@ -98,6 +98,31 @@ def test_flow_static_real_photos(flow_net):
         assert med < 1.5, f"{name}: median spurious |flow| {med:.2f} px"
 
 
+def test_flow_known_shift_heldout_photo(flow_net):
+    """Same known-shift recovery on a HELD-OUT photograph (``heldout_``
+    keys are excluded from the training texture bank by
+    train/data_synth._real_bank): non-circular evidence the net handles
+    natural image statistics rather than memorized textures."""
+    from moving_object_detector_tpu.pipeline import _flow_forward
+
+    _xfail_unless_real_trained()
+    params, model = flow_net
+    shift = 6
+    img = _crop(_textures()["heldout_camera"])
+    img2 = np.roll(img, shift, axis=1)
+    fl = np.asarray(
+        _flow_forward(params, model, jnp.asarray(img), jnp.asarray(img2))
+    )
+    inner = fl[:, shift + 8: W - 8]
+    err = np.linalg.norm(
+        inner - np.array([shift, 0.0], np.float32), axis=-1
+    )
+    epe = float(err.mean())
+    med_u = float(np.median(inner[..., 0]))
+    assert abs(med_u - shift) < 1.0, f"median u {med_u:.2f} vs {shift}"
+    assert epe < 4.5, f"held-out real-texture EPE {epe:.2f}"
+
+
 def test_flow_known_shift_real_photo(flow_net):
     """A global +6 px horizontal shift of a real photo must be recovered
     (EPE floor on real texture; the synthetic-batch floor is 4.5)."""
