@@ -53,6 +53,11 @@ def main(argv=None):
                          "scale-2 quality gates (stage E finetune — EPE "
                          "floor + end-to-end detection PASS at both "
                          "scales), else 1")
+    ap.add_argument("--sgm-input-scale", type=int, default=1,
+                    help="run SGM stereo at 1/N resolution (nearest-"
+                         "upsampled disparities x N; ~N^2 cheaper DP). "
+                         "Not yet a gated default: check detection "
+                         "quality before serving with it")
     ap.add_argument("--probe-all", action="store_true",
                     help="also consume every DEBUG output per frame "
                          "(label image, static flow, depth...), i.e. the "
@@ -66,6 +71,8 @@ def main(argv=None):
                          "require clustering require scene flow require "
                          "disparity+flow+ego-motion.")
     args = ap.parse_args(argv)
+    if args.sgm_input_scale < 1:
+        ap.error(f"--sgm-input-scale must be >= 1, got {args.sgm_input_scale}")
     if args.flow_input_scale < 0:
         ap.error(f"--flow-input-scale must be 0 (auto) or >= 1, "
                  f"got {args.flow_input_scale}")
@@ -96,7 +103,8 @@ def main(argv=None):
         # with weights that passed the scale-2 quality gates.
         args.flow_input_scale = 2 if flow_checkpoint_scale2_gated(ckpt) else 1
     config = PipelineConfig(height=h, width=w,
-                            flow_input_scale=args.flow_input_scale)
+                            flow_input_scale=args.flow_input_scale,
+                            sgm_input_scale=args.sgm_input_scale)
     stereo = StereoModel.create(
         fx=721.5, fy=721.5, cx=w / 2.0, cy=h / 2.0, baseline=0.54
     )
@@ -285,6 +293,8 @@ def main(argv=None):
         metric += f"_x{n_spatial}spatial"
     if args.flow_input_scale > 1:
         metric += f"_flowscale{args.flow_input_scale}"
+    if args.sgm_input_scale > 1:
+        metric += f"_sgmscale{args.sgm_input_scale}"
     if args.probe_all:
         metric += "_alldebug"
     print(

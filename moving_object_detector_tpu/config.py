@@ -204,6 +204,15 @@ class PipelineConfig:
     # Run the flow net at 1/N resolution (upscaled back): serving speed
     # knob for e.g. the ZED-live operating point.
     flow_input_scale: int = 1
+    # Run SGM stereo at 1/N resolution: the matcher sees downsampled
+    # images; valid disparities are nearest-upsampled and scaled by N
+    # (invalid -1 pixels stay exactly -1 — bilinear would smear them into
+    # neighbors). ~N^2 cheaper DP aggregation, the stereo analog of the
+    # reference's crop-to-run-fast operating point
+    # (detect_with_zed.launch:10-14). No learned weights involved, but
+    # depth quantization coarsens by N: gate with
+    # scripts/validate_detection_quality.py before serving.
+    sgm_input_scale: int = 1
     scene_flow: SceneFlowConfig = dataclasses.field(default_factory=SceneFlowConfig)
     clusterer: ClustererConfig = dataclasses.field(default_factory=ClustererConfig)
     tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)

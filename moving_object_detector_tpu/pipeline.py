@@ -140,6 +140,42 @@ def _flow_forward(
     return flow
 
 
+def _sgm_forward(
+    left, right, stereo: StereoModel, config: "PipelineConfig"
+) -> DisparityImage:
+    """Run SGM at 1/``config.sgm_input_scale`` resolution and restore a
+    full-resolution DisparityImage.
+
+    Upsampling is NEAREST with disparities scaled by the factor: valid
+    pixels keep exact half-res winners in full-res units, and the -1
+    invalid marker survives bit-exactly (bilinear would blend it into
+    neighboring disparities and invent depths along occlusion edges).
+    Metadata stays in full-res units (d_full = N * d_half), so the
+    downstream DisparityImageProcessor contract
+    (disparity_image_processor.cpp:25-27,41-42) is unchanged."""
+    from .ops.sgm import disparity_with_metadata, sgm_disparity_raw
+
+    s = config.sgm_input_scale
+    if s <= 1:
+        return compute_disparity(left, right, stereo, config.sgm)
+    h0, w0 = left.shape
+    hs, ws = h0 // s, w0 // s
+    left_s = jax.image.resize(left, (hs, ws), "bilinear")
+    right_s = jax.image.resize(right, (hs, ws), "bilinear")
+    disp_s = sgm_disparity_raw(left_s, right_s, config.sgm)
+    valid = disp_s >= 0
+    disp_s = jnp.where(valid, disp_s * float(s), -1.0)
+    # Nearest upsample: index map y -> y // s (exact for h0 % s == 0;
+    # trailing rows/cols replicate the last source pixel otherwise).
+    yi = jnp.minimum(jnp.arange(h0) // s, hs - 1)
+    xi = jnp.minimum(jnp.arange(w0) // s, ws - 1)
+    disp = disp_s[yi[:, None], xi[None, :]]
+    meta = disparity_with_metadata(disp, stereo, config.sgm)
+    return meta.replace(
+        max_disparity=meta.max_disparity * float(s)
+    )
+
+
 def transform_objects(objects: MovingObjects, tf: jnp.ndarray) -> MovingObjects:
     """Transform detections camera -> odom (centers as points, velocities as
     vectors; bounding boxes axis-aligned sizes stay, matching
@@ -189,7 +225,7 @@ def detect_step(
     if disparity_override is not None:
         disparity_now = disparity_override
     else:
-        disparity_now = compute_disparity(left, right, stereo, config.sgm)
+        disparity_now = _sgm_forward(left, right, stereo, config)
 
     disparity_prev = state.prev_disparity
 

@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "deterministic resume")
     p.add_argument("--resume-state", default=None,
                    help="orbax dir: resume from a --save-state snapshot")
+    p.add_argument("--flow-input-scale", type=int, default=1,
+                   help="run the flow net at 1/N resolution (serving "
+                        "latency knob; only deploy values that passed the "
+                        "scale-N quality gates)")
+    p.add_argument("--sgm-input-scale", type=int, default=1,
+                   help="run SGM stereo at 1/N resolution (nearest-"
+                        "upsampled disparities x N)")
     p.add_argument("--reconfigure-file", default=None,
                    help="watched JSON file of Tunables fields "
                         "(dynamic_reconfigure analog): edits apply between "
@@ -103,6 +110,11 @@ def main(argv=None) -> int:
         )
     else:
         config = PipelineConfig(height=args.height, width=args.width)
+    if args.flow_input_scale != 1 or args.sgm_input_scale != 1:
+        config = config.replace(
+            flow_input_scale=args.flow_input_scale,
+            sgm_input_scale=args.sgm_input_scale,
+        )
     stereo = StereoModel.create(
         fx=args.fx, fy=args.fx, cx=args.width / 2.0, cy=args.height / 2.0,
         baseline=args.baseline,

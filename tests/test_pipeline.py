@@ -442,3 +442,38 @@ def test_prev_disparity_metadata_carry():
     assert float(state.prev_disparity.min_disparity) == 1.0
     assert float(state.prev_disparity.max_disparity) == 64.0
     assert bool(np.asarray(state.prev_disparity.valid_mask()).all())
+
+
+def test_end_to_end_sgm_input_scale():
+    """The half-res SGM serving knob (PipelineConfig.sgm_input_scale=2)
+    must preserve the end-to-end detection/tracking result on the oracle
+    scene: one detection with correct velocity and depth, no phantoms."""
+    import dataclasses as _dc
+
+    config = _dc.replace(CONFIG, sgm_input_scale=2)
+    rng = np.random.default_rng(5)
+    bg = blocky(rng, H, W)
+    obj_tex = noisy(rng, OBJ_H, OBJ_W)
+    state = PipelineState.create(config)
+    x0 = 30
+    outputs = []
+    for k in range(5):
+        obj_x = x0 + SHIFT * k
+        left, right = make_frame(bg, obj_tex, obj_x)
+        flow = true_flow(obj_x, first=(k == 0))
+        state, out = detect_step(
+            None, state, jnp.asarray(left), jnp.asarray(right),
+            jnp.float32(k * DT), STEREO, config,
+            flow_override=jnp.asarray(flow),
+        )
+        outputs.append(out)
+    for k in range(1, 5):
+        out = outputs[k]
+        assert bool(out.frame_valid), f"frame {k} invalid"
+        valid = np.asarray(out.detections.valid)
+        assert valid.sum() == 1, f"frame {k}: {valid.sum()} detections"
+        i = valid.argmax()
+        vel = np.asarray(out.detections.velocity)[i]
+        center = np.asarray(out.detections.center)[i]
+        assert abs(vel[0] - V_TRUE) < 0.6, f"frame {k} vx {vel[0]}"
+        assert abs(center[2] - Z_OBJ) < 0.6, f"frame {k} z {center[2]}"

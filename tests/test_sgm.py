@@ -223,3 +223,34 @@ def test_bad_num_paths_raises():
     left = jnp.zeros((16, 32), jnp.float32)
     with _pytest.raises(ValueError, match="num_paths"):
         sgm.sgm_disparity_raw(left, left, cfg)
+
+
+def test_sgm_input_scale_half_res(rng):
+    """_sgm_forward at sgm_input_scale=2: valid disparities come back in
+    FULL-res units (d_full = 2 * d_half) on a constant-disparity plane and
+    the -1 invalid marker survives nearest upsampling bit-exactly."""
+    from moving_object_detector_tpu.config import PipelineConfig
+    from moving_object_detector_tpu.pipeline import _sgm_forward
+
+    h, w, d_true = 64, 96, 12  # even disparity: exact at half res
+    left = textured_image(h, w, rng)
+    right = shift_right_image(left, d_true)
+    config = PipelineConfig(
+        height=h, width=w, sgm_input_scale=2,
+        sgm=dataclasses.replace(CFG, backend="xla"),
+    )
+    disp_img = _sgm_forward(
+        jnp.asarray(left), jnp.asarray(right), STEREO, config
+    )
+    disp = np.asarray(disp_img.disparity)
+    assert disp.shape == (h, w)
+    # Metadata range covers the scaled disparities.
+    assert float(disp_img.max_disparity) == 2.0 * (CFG.max_disparity - 1)
+    region = disp[4:-4, d_true + 4 : -4]
+    valid = region >= 0
+    assert valid.mean() > 0.8
+    np.testing.assert_allclose(region[valid], d_true, atol=1.1)
+    # Invalid pixels are exactly -1 (never blended by the upsample).
+    invalid = disp[disp < 0]
+    assert invalid.size > 0
+    np.testing.assert_array_equal(invalid, -1.0)
