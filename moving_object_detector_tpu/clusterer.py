@@ -79,6 +79,7 @@ def cluster_scene_flow(
             neighbor_distance=config.neighbor_distance,
             max_iters=config.max_cc_iters,
             interpret=backend == "pallas_interpret",
+            max_span=config.cc_scan_span,
         )
     else:
         labels = connected_components(

@@ -60,6 +60,12 @@ class ClustererConfig:
     max_objects: int = 16
     # Upper bound on label-propagation sweeps for connected components.
     max_cc_iters: int = 64
+    # Pallas CC: cap on the per-iteration distance-doubling scan reach in
+    # pixels (0 = full image span). Components wider than the cap still
+    # label correctly via extra fixpoint iterations (the kernel loops to
+    # convergence); a cap near the largest expected object size cuts
+    # per-iteration rolls. Quality-neutral by construction.
+    cc_scan_span: int = 0
     # Connected-components backend: "pallas" = whole-image-in-VMEM kernel
     # (ops/clustering_pallas.py; hardware-validated exact vs the XLA
     # oracle, 5.3x faster on busy frames), "xla" = scan/sweep form,

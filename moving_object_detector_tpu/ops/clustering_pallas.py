@@ -49,7 +49,7 @@ def _roll2d(x, dv, du):
 
 def _cc_kernel(
     dyn_ref, z_ref, dd_ref, off_ref, label_ref, iters_ref,
-    *, h, w, hp, wp, dv_groups, max_iters,
+    *, h, w, hp, wp, dv_groups, max_iters, max_span,
 ):
     # Mosaic only rotates 32-bit vectors: anything rolled (dyn, adjacency,
     # reach flags) lives as int32 0/1. All in-kernel loops are
@@ -124,8 +124,12 @@ def _cc_kernel(
     )
     dyn = (adj & 16) != 0
 
-    n_dbl_w = max(1, (wp - 1).bit_length())
-    n_dbl_h = max(1, (hp - 1).bit_length())
+    # Distance-doubling step counts. ``max_span`` < image size trades
+    # per-iteration scan work for (possibly) more fixpoint iterations on
+    # components wider than the span — the while_loop re-runs until the
+    # PARTITION stops changing, so the result is identical either way.
+    n_dbl_w = max(1, (min(wp, max_span or wp) - 1).bit_length())
+    n_dbl_h = max(1, (min(hp, max_span or hp) - 1).bit_length())
 
     def seg_scan(label, bit, axis, sign, n_dbl):
         """Distance-doubling segmented min along one axis: adj bit
@@ -223,6 +227,7 @@ def _cc_kernel(
     jax.jit,
     static_argnames=(
         "neighbor_distance", "max_iters", "interpret", "return_iters",
+        "max_span",
     ),
 )
 def connected_components_pallas(
@@ -233,13 +238,19 @@ def connected_components_pallas(
     max_iters: int = 64,
     interpret: bool = False,
     return_iters: bool = False,
+    max_span: int = 0,
 ) -> jnp.ndarray:
     """Drop-in for ops.clustering.connected_components on TPU (whole image
     resident in VMEM; fits comfortably up to ~1000x2600).
 
     ``return_iters=True`` additionally returns the number of
     sweep+propagate rounds the fixpoint took (scalar int32), for
-    convergence profiling against ``max_iters``."""
+    convergence profiling against ``max_iters``.
+
+    ``max_span`` > 0 caps the per-iteration distance-doubling scan reach
+    (in pixels); components wider/taller than the cap converge over extra
+    fixpoint iterations instead. Same partition, fewer rolls per
+    iteration when real components are much smaller than the frame."""
     h, w = dynamic.shape
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
@@ -267,7 +278,7 @@ def connected_components_pallas(
     out, iters = pl.pallas_call(
         partial(
             _cc_kernel, h=h, w=w, hp=hp, wp=wp,
-            dv_groups=dv_groups, max_iters=max_iters,
+            dv_groups=dv_groups, max_iters=max_iters, max_span=max_span,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -86,3 +86,33 @@ def test_cc_pallas_return_iters():
     np.testing.assert_array_equal(np.asarray(labels), np.asarray(ref))
     n = int(iters)
     assert 1 <= n < 64, n
+
+
+@pytest.mark.parametrize("span", [8, 32])
+def test_cc_pallas_capped_span_same_partition(span):
+    """max_span caps the per-iteration doubling reach; components WIDER
+    than the cap (here a full-width snake) must still converge to the
+    exact oracle labeling via extra fixpoint iterations."""
+    h, w = 40, 150
+    dynamic = np.zeros((h, w), bool)
+    depth = np.full((h, w), np.nan, np.float32)
+    # Full-width zig-zag snake (wider than any tested span).
+    dynamic[4:8, :] = True
+    depth[4:8, :] = 2.0
+    dynamic[8:20, 140:148] = True
+    depth[8:20, 140:148] = 2.0
+    dynamic[18:22, 5:148] = True
+    depth[18:22, 5:148] = 2.0
+    # Plus random confetti.
+    dyn2, dep2 = _random_scene(jax.random.PRNGKey(3), h, w)
+    dynamic = dynamic | (np.asarray(dyn2) & (np.arange(h)[:, None] > 24))
+    depth = np.where(np.isnan(depth), np.asarray(dep2), depth)
+    ref = connected_components(
+        jnp.asarray(dynamic), jnp.asarray(depth), jnp.float32(0.15), 2, 64
+    )
+    out, iters = connected_components_pallas(
+        jnp.asarray(dynamic), jnp.asarray(depth), jnp.float32(0.15), 2, 64,
+        interpret=True, max_span=span, return_iters=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert int(iters) <= 64
