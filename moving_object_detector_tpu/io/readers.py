@@ -311,6 +311,105 @@ class LiveDirectorySequence:
                 last_new = _time.monotonic()
 
 
+_SOCK_MAGIC = b"MODT"
+
+
+def write_socket_frame(sock, left: np.ndarray, right: np.ndarray,
+                       t: float) -> None:
+    """Send one stereo frame over a connected socket (the camera side of
+    SocketStereoSequence's wire format). Images are (H, W) float32 [0, 1]
+    or uint8; sent as uint8 + a float64 timestamp."""
+    def as_u8(img):
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            img = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+            img = np.round(img * 255.0).astype(np.uint8)
+        return img
+
+    l8, r8 = as_u8(left), as_u8(right)
+    if l8.shape != r8.shape:
+        raise ValueError(f"stereo shape mismatch {l8.shape} vs {r8.shape}")
+    h, w = l8.shape
+    header = _SOCK_MAGIC + struct.pack("<IId", h, w, float(t))
+    sock.sendall(header + l8.tobytes() + r8.tobytes())
+
+
+@dataclasses.dataclass
+class SocketStereoSequence:
+    """Live streaming source over TCP: the in-process stand-in for a
+    network camera / remote sensor node (the reference's ZED feed arrived
+    over TCPROS from another process, docker-compose.yml:14-16 +
+    detect_with_zed.launch:1-55).
+
+    Wire format per frame: b"MODT" + <u32 H><u32 W><f64 t> + H*W uint8
+    left + H*W uint8 right. The reader CONNECTS to ``host:port`` (the
+    sensor is the server, as a camera daemon would be) and yields frames
+    until the peer closes or ``idle_timeout`` passes with no data. Pair
+    with a drop-oldest PipelineRunner ring for queue_size=1 backpressure
+    (scene_flow_constructor.cpp:55-62 semantics).
+    """
+
+    host: str = "127.0.0.1"
+    port: int = 0
+    idle_timeout: float = 10.0
+    connect_retries: int = 50
+    connect_retry_interval: float = 0.1
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
+        import socket
+        import time as _time
+
+        sock = None
+        last_err = None
+        for _ in range(max(1, self.connect_retries)):
+            try:
+                sock = socket.create_connection(
+                    (self.host, self.port), timeout=self.idle_timeout
+                )
+                break
+            except OSError as e:  # server not up yet
+                last_err = e
+                _time.sleep(self.connect_retry_interval)
+        if sock is None:
+            raise ConnectionError(
+                f"could not connect to {self.host}:{self.port}: {last_err}"
+            )
+        head_len = len(_SOCK_MAGIC) + struct.calcsize("<IId")
+
+        def recv_exact(n: int) -> bytes | None:
+            buf = bytearray()
+            while len(buf) < n:
+                try:
+                    chunk = sock.recv(n - len(buf))
+                except socket.timeout:
+                    return None  # idle
+                if not chunk:  # peer closed
+                    return None
+                buf.extend(chunk)
+            return bytes(buf)
+
+        with sock:
+            while True:
+                head = recv_exact(head_len)
+                if head is None:
+                    return
+                if head[:4] != _SOCK_MAGIC:
+                    raise ValueError(
+                        f"bad frame magic {head[:4]!r} (desynchronized "
+                        f"stream)"
+                    )
+                h, w, t = struct.unpack("<IId", head[4:])
+                if not (0 < h <= 8192 and 0 < w <= 8192):
+                    raise ValueError(f"implausible frame dims {h}x{w}")
+                payload = recv_exact(2 * h * w)
+                if payload is None:
+                    return  # truncated final frame / idle mid-frame
+                frame = np.frombuffer(payload, np.uint8).reshape(2, h, w)
+                left = frame[0].astype(np.float32) / 255.0
+                right = frame[1].astype(np.float32) / 255.0
+                yield left, right, float(t)
+
+
 @dataclasses.dataclass
 class NpzSequence:
     """Recorded sequence from a single .npz: arrays 'left' (N, H, W),

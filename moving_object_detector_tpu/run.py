@@ -26,7 +26,8 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--source", choices=["synthetic", "kitti", "npz", "live"],
+    p.add_argument("--source",
+                   choices=["synthetic", "kitti", "npz", "live", "socket"],
                    default="synthetic")
     p.add_argument("--left-dir",
                    help="left image directory (kitti/live sources)")
@@ -38,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stop-file", default=None,
                    help="live source: stop when this file appears")
     p.add_argument("--npz", help="recorded .npz sequence path")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="socket source: sensor server host")
+    p.add_argument("--port", type=int, default=0,
+                   help="socket source: sensor server port")
     p.add_argument("--frames", type=int, default=20)
     p.add_argument("--height", type=int, default=376)
     p.add_argument("--width", type=int, default=1242)
@@ -154,6 +159,13 @@ def main(argv=None) -> int:
             args.left_dir, args.right_dir, fps=args.fps,
             idle_timeout=args.idle_timeout, stop_file=args.stop_file,
         )
+    elif args.source == "socket":
+        if not args.port:
+            print("--port required for socket", file=sys.stderr)
+            return 2
+        seq = readers.SocketStereoSequence(
+            args.host, args.port, idle_timeout=args.idle_timeout,
+        )
     else:
         if not args.npz:
             print("--npz required", file=sys.stderr)
@@ -200,7 +212,7 @@ def main(argv=None) -> int:
     # Live sources get the reference's queue_size=1 drop-stale semantics
     # (scene_flow_constructor.cpp:55-62): when the pipeline can't keep up
     # with the sensor, stale frames are dropped, not queued.
-    live = args.source == "live"
+    live = args.source in ("live", "socket")
     runner = PipelineRunner(
         config, stereo, params, model,
         export_dir=args.export_dir, export_every=args.export_every,

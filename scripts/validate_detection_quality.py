@@ -9,11 +9,13 @@ checkpoint must (1) detect the moving block on most frames with the right
 velocity sign/magnitude, (2) produce ZERO detections whose center is off
 the object.
 
-Usage: python scripts/validate_detection_quality.py [ckpt] [h w frames [scale]]
-(defaults: bundled weights, 192x448, 10 frames, flow_input_scale=1). The
-optional 5th arg gates the flow_input_scale serving knob: flipping the
-config default to N requires a PASS at scale N. Exits nonzero on failure,
-so retrain recipes can gate on it. Runs anywhere (CPU ok at 192x448).
+Usage: python scripts/validate_detection_quality.py
+           [ckpt] [h w frames [flow_scale [sgm_scale]]]
+(defaults: bundled weights, 192x448, 10 frames, flow_input_scale=1,
+sgm_input_scale=1). The optional 5th/6th args gate the serving knobs:
+flipping a config default to N requires a PASS at that scale. Exits
+nonzero on failure, so retrain recipes can gate on it. Runs anywhere
+(CPU ok at 192x448).
 """
 import os
 import sys
@@ -31,6 +33,7 @@ def main():
     w = int(sys.argv[3]) if len(sys.argv) > 3 else 448
     n_frames = int(sys.argv[4]) if len(sys.argv) > 4 else 10
     flow_scale = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    sgm_scale = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
     from moving_object_detector_tpu.config import PipelineConfig
     from moving_object_detector_tpu.io.readers import SyntheticStereoSequence
@@ -45,7 +48,8 @@ def main():
     import dataclasses
 
     fx = 300.0
-    config = PipelineConfig(height=h, width=w, flow_input_scale=flow_scale)
+    config = PipelineConfig(height=h, width=w, flow_input_scale=flow_scale,
+                            sgm_input_scale=sgm_scale)
     # Retune cluster_size for the eval resolution, exactly as a reference
     # user would via dynamic_reconfigure (Clusterer.cfg:8): the default
     # 2500 px minimum is calibrated to 1242x376 frames (0.54% of frame

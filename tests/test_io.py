@@ -767,3 +767,59 @@ def test_runner_live_source_end_to_end(tmp_path):
     # never more than were written.
     assert 1 <= len(results) <= 5
     assert results[-1].frame_valid in (True, False)
+
+
+def test_socket_stereo_sequence_roundtrip():
+    """A sensor-server thread streams frames over TCP; the reader yields
+    them in order with exact timestamps and terminates when the server
+    closes the connection."""
+    import socket
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    h, w = 12, 20
+
+    def sensor():
+        conn, _ = srv.accept()
+        with conn:
+            for k in range(4):
+                img = np.full((h, w), k * 20, np.uint8)
+                readers.write_socket_frame(conn, img, img.T.copy().T, 0.1 * k)
+        srv.close()
+
+    th = threading.Thread(target=sensor)
+    th.start()
+    frames = list(readers.SocketStereoSequence("127.0.0.1", port,
+                                               idle_timeout=5.0))
+    th.join()
+    assert len(frames) == 4
+    for k, (left, right, t) in enumerate(frames):
+        np.testing.assert_allclose(left, k * 20 / 255.0, atol=1e-6)
+        np.testing.assert_allclose(right, left)
+        assert abs(t - 0.1 * k) < 1e-9
+
+
+def test_socket_stereo_sequence_rejects_garbage():
+    import socket
+
+    import pytest as _pytest
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def sensor():
+        conn, _ = srv.accept()
+        with conn:
+            conn.sendall(b"JUNKJUNKJUNKJUNKJUNKJUNK")
+        srv.close()
+
+    th = threading.Thread(target=sensor)
+    th.start()
+    with _pytest.raises(ValueError, match="magic"):
+        list(readers.SocketStereoSequence("127.0.0.1", port,
+                                          idle_timeout=5.0))
+    th.join()
