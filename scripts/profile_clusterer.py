@@ -77,6 +77,24 @@ def cc_only(v):
 
 t("CC kernel only", cc_only, cloud.velocity)
 
+# A/B the distance-doubling span cap (ClustererConfig.cc_scan_span): the
+# busy objects here are <= 120 px wide, so caps >= 128 are
+# iteration-neutral while cutting per-iteration rolls.
+for _span in (256, 128, 64):
+    def cc_span(v, _span=_span):
+        dynamic, _ = dyn_of(v)
+        labels = connected_components_pallas(
+            dynamic, depth, ddiff, neighbor_distance=cfg.neighbor_distance,
+            max_iters=cfg.max_cc_iters, max_span=_span)
+        return consume(v, labels)
+
+    _dyn1, _ = dyn_of(cloud.velocity)
+    _, _it = connected_components_pallas(
+        _dyn1, depth, ddiff, neighbor_distance=cfg.neighbor_distance,
+        max_iters=cfg.max_cc_iters, max_span=_span, return_iters=True)
+    t(f"CC kernel span<={_span} ({int(_it)} iters)", cc_span,
+      cloud.velocity)
+
 # Fixpoint convergence on this busy frame (PLAN_NEXT: is max_iters=64 a
 # gross overbound, and is the per-iteration cost or the count the lever?).
 _dyn0, _ = dyn_of(cloud.velocity)
