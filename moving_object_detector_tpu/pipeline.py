@@ -170,6 +170,42 @@ def _sgm_forward(
     yi = jnp.minimum(jnp.arange(h0) // s, hs - 1)
     xi = jnp.minimum(jnp.arange(w0) // s, ws - 1)
     disp = disp_s[yi[:, None], xi[None, :]]
+
+    # Edge-aware smoothing of the quantized staircase: on SMOOTH fully-
+    # valid surfaces (local half-res disparity spread <= 1 px over the
+    # 3x3 support) replace the nearest sample with the valid-weighted
+    # bilinear one — recovering most of the subpixel depth accuracy the
+    # half-res matcher lost. At depth discontinuities or near invalid
+    # pixels the spread/validity gates keep the exact nearest winner, so
+    # no disparity is ever invented across an occlusion edge and -1
+    # survives bit-exactly.
+    vf = valid.astype(jnp.float32)
+    num = jax.image.resize(jnp.where(valid, disp_s, 0.0) * vf,
+                           (h0, w0), "bilinear")
+    den = jax.image.resize(vf, (h0, w0), "bilinear")
+    bilin = num / jnp.maximum(den, 1e-6)
+
+    def roll2(x, dy, dx, fill):
+        return jnp.roll(
+            jnp.pad(x, 1, constant_values=fill), (dy, dx), (0, 1)
+        )[1:-1, 1:-1]
+
+    lo = hi = jnp.where(valid, disp_s, jnp.inf)
+    hi = jnp.where(valid, disp_s, -jnp.inf)
+    all_ok = vf
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            lo = jnp.minimum(lo, roll2(jnp.where(valid, disp_s, jnp.inf),
+                                       dy, dx, jnp.inf))
+            hi = jnp.maximum(hi, roll2(jnp.where(valid, disp_s, -jnp.inf),
+                                       dy, dx, -jnp.inf))
+            all_ok = all_ok * roll2(vf, dy, dx, 0.0)
+    smooth_s = (all_ok > 0.5) & ((hi - lo) <= float(s))
+    smooth = smooth_s[yi[:, None], xi[None, :]]
+    disp = jnp.where(smooth & (disp >= 0), bilin, disp)
+
     meta = disparity_with_metadata(disp, stereo, config.sgm)
     return meta.replace(
         max_disparity=meta.max_disparity * float(s)
