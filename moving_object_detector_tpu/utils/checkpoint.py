@@ -61,13 +61,16 @@ def default_flow_checkpoint() -> str | None:
     Preference order = newest checkpoint that passes ALL bundled-weight
     gates (tests/test_flow_quality.py EPE floor + static spurious +
     cell-texture motion; scripts/validate_detection_quality.py end-to-end
-    PASS). pwc_v4e additionally passes those gates at flow_input_scale=2
-    (stage E, scripts/finetune_flow_scale2.sh) — see
-    flow_checkpoint_scale2_gated. Older versions remain as explicit-path
-    fallbacks only."""
+    PASS). pwc_v5 (real-photo textures + max_shift 128 curriculum,
+    scripts/train_flow_v5.sh) additionally passes the real-imagery
+    static/shift checks (tests/test_real_imagery.py), the magnitude-binned
+    EPE gate ([24,64) px bin < 5), and the flow_input_scale=2 serving
+    gates — see flow_checkpoint_scale2_gated. Older versions remain as
+    explicit-path fallbacks only."""
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    for name in ("pwc_v4e.fp16.npz", "pwc_v4.fp16.npz", "pwc_v2.fp16.npz"):
+    for name in ("pwc_v5.fp16.npz", "pwc_v4e.fp16.npz", "pwc_v4.fp16.npz",
+                 "pwc_v2.fp16.npz"):
         path = os.path.join(root, "weights", name)
         if os.path.exists(path):
             return path
@@ -81,7 +84,12 @@ def default_flow_checkpoint() -> str | None:
 # prefix matching would let ungated candidate exports (e.g.
 # /tmp/pwc_v4e_candidate.fp16.npz) claim the gate and silently serve at
 # half resolution.
-_SCALE2_GATED_BASENAMES = frozenset({"pwc_v4e.fp16.npz"})
+_SCALE2_GATED_BASENAMES = frozenset({
+    "pwc_v4e.fp16.npz",   # stage E, gates PASS 2026-08-19 (384x896)
+    "pwc_v5.fp16.npz",    # train_flow_v5.sh, gates PASS 2026-08-19:
+                          # 384x896 scale-2 EPE 2.06, detection 6/7,
+                          # 0 phantoms, vel err 0.287
+})
 
 
 def flow_checkpoint_scale2_gated(path: str | None) -> bool:

@@ -74,8 +74,13 @@ PYEOF
 echo "== end-to-end detection gates (scale 1 AND scale 2) =="
 timeout 1800 python scripts/validate_detection_quality.py \
     /tmp/pwc_v5_candidate.fp16.npz 192 448 10
+# Scale-2 gate MUST run on 384x896 frames so the net sees 192x448 after
+# the serving downsample — the DEPLOYED distribution (bench: KITTI
+# 376x1242 -> net 188x621). A 192x448-frame scale-2 run feeds the net
+# 96x224, a regime nothing serves (PLAN_NEXT 2026-08-19b), and fails
+# for every checkpoint including the promoted pwc_v4e.
 timeout 1800 python scripts/validate_detection_quality.py \
-    /tmp/pwc_v5_candidate.fp16.npz 192 448 10 2
+    /tmp/pwc_v5_candidate.fp16.npz 384 896 8 2
 echo "== V5 CANDIDATE READY: check every gate above, then"
 echo "   cp /tmp/pwc_v5_candidate.fp16.npz weights/pwc_v5.fp16.npz"
 echo "   + add to default_flow_checkpoint preference, the scale-2"
