@@ -53,11 +53,15 @@ def main(argv=None):
                          "scale-2 quality gates (stage E finetune — EPE "
                          "floor + end-to-end detection PASS at both "
                          "scales), else 1")
-    ap.add_argument("--sgm-input-scale", type=int, default=1,
-                    help="run SGM stereo at 1/N resolution (nearest-"
-                         "upsampled disparities x N; ~N^2 cheaper DP). "
-                         "Not yet a gated default: check detection "
-                         "quality before serving with it")
+    ap.add_argument("--sgm-input-scale", type=int, default=0,
+                    help="run SGM stereo at 1/N resolution (edge-aware "
+                         "bilinear-upsampled disparities x N; ~N^2 "
+                         "cheaper DP). Default 0 = auto: 2 iff the flow "
+                         "weights are scale-2 gated, because that is the "
+                         "combination validate_detection_quality passed "
+                         "at 384x896 with the promoted pwc_v5 weights "
+                         "(flow_scale=2 sgm_scale=2: 6/7 frames, 0 "
+                         "phantoms, vel err 0.303, 2026-08-19), else 1")
     ap.add_argument("--probe-all", action="store_true",
                     help="also consume every DEBUG output per frame "
                          "(label image, static flow, depth...), i.e. the "
@@ -71,8 +75,9 @@ def main(argv=None):
                          "require clustering require scene flow require "
                          "disparity+flow+ego-motion.")
     args = ap.parse_args(argv)
-    if args.sgm_input_scale < 1:
-        ap.error(f"--sgm-input-scale must be >= 1, got {args.sgm_input_scale}")
+    if args.sgm_input_scale < 0:
+        ap.error(f"--sgm-input-scale must be 0 (auto) or >= 1, "
+                 f"got {args.sgm_input_scale}")
     if args.flow_input_scale < 0:
         ap.error(f"--flow-input-scale must be 0 (auto) or >= 1, "
                  f"got {args.flow_input_scale}")
@@ -102,6 +107,11 @@ def main(argv=None):
         # Auto: the half-res flow path is the default serving config only
         # with weights that passed the scale-2 quality gates.
         args.flow_input_scale = 2 if flow_checkpoint_scale2_gated(ckpt) else 1
+    if args.sgm_input_scale == 0:
+        # Auto: half-res SGM serves by default only in the combination the
+        # end-to-end gate validated (scale-2-gated flow weights + sgm
+        # scale 2 at 384x896 -- see --sgm-input-scale help).
+        args.sgm_input_scale = 2 if flow_checkpoint_scale2_gated(ckpt) else 1
     config = PipelineConfig(height=h, width=w,
                             flow_input_scale=args.flow_input_scale,
                             sgm_input_scale=args.sgm_input_scale)
