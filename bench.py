@@ -146,13 +146,31 @@ def main(argv=None):
         left_ring = jnp.asarray(np.stack(lefts).astype(np.float32))
         right_ring = jnp.asarray(np.stack(rights).astype(np.float32))
     else:
-        rng = np.random.default_rng(0)
-        left_ring = jnp.asarray(
-            rng.uniform(0, 1, (1, h, w)).astype(np.float32)
+        # A ring of DISTINCT quiet frames. Two traps bracket this choice:
+        # (a) a single repeated frame makes the whole per-frame perception
+        # subgraph loop-invariant inside the fori_loop chain, and XLA can
+        # hoist it out of the loop — timing a frame rate no real stream
+        # can reach; (b) INDEPENDENT random frames are not "quiet" at all:
+        # consecutive noise images are unmatchable, the trained flow net
+        # emits garbage, every pixel goes dynamic and the CC fixpoint
+        # saturates (measured 5 pairs/s). The honest quiet stream is a
+        # camera pan over a STATIC world: sliding crops of one static
+        # synthetic scene — every frame distinct (no hoisting), flow a
+        # uniform ~2 px/frame, scene-flow velocities ~0 (quiet clusterer).
+        from moving_object_detector_tpu.io.readers import (
+            SyntheticStereoSequence,
         )
-        right_ring = jnp.asarray(
-            rng.uniform(0, 1, (1, h, w)).astype(np.float32)
+
+        pan = 2  # px/frame lateral camera pan
+        n_q = 4
+        seq = SyntheticStereoSequence(
+            height=h, width=w + pan * n_q, obj_speed_px=0.0, n_frames=1
         )
+        fl, fr, _, _ = seq.frame(0)
+        lefts = [fl[:, k * pan : k * pan + w] for k in range(n_q)]
+        rights = [fr[:, k * pan : k * pan + w] for k in range(n_q)]
+        left_ring = jnp.asarray(np.stack(lefts).astype(np.float32))
+        right_ring = jnp.asarray(np.stack(rights).astype(np.float32))
     n_ring = left_ring.shape[0]
 
     n_streams = args.streams

@@ -64,8 +64,13 @@ class ClustererConfig:
     # pixels (0 = full image span). Components wider than the cap still
     # label correctly via extra fixpoint iterations (the kernel loops to
     # convergence); a cap near the largest expected object size cuts
-    # per-iteration rolls. Quality-neutral by construction.
-    cc_scan_span: int = 0
+    # per-iteration rolls. Quality-neutral by construction. Default from
+    # the on-chip A/B at KITTI res (profile_clusterer.py, 2026-08-19):
+    # span 128 = 1.355 ms vs 1.499 uncapped / 1.80 at span 64, same
+    # 3-iteration fixpoint on the busy 3-object frame; objects wider
+    # than 128 px converge via extra ~0.45 ms iterations, bounded by
+    # max_cc_iters.
+    cc_scan_span: int = 128
     # Connected-components backend: "pallas" = whole-image-in-VMEM kernel
     # (ops/clustering_pallas.py; hardware-validated exact vs the XLA
     # oracle, 5.3x faster on busy frames), "xla" = scan/sweep form,

@@ -165,11 +165,19 @@ def _sgm_forward(
     disp_s = sgm_disparity_raw(left_s, right_s, config.sgm)
     valid = disp_s >= 0
     disp_s = jnp.where(valid, disp_s * float(s), -1.0)
-    # Nearest upsample: index map y -> y // s (exact for h0 % s == 0;
-    # trailing rows/cols replicate the last source pixel otherwise).
-    yi = jnp.minimum(jnp.arange(h0) // s, hs - 1)
-    xi = jnp.minimum(jnp.arange(w0) // s, ws - 1)
-    disp = disp_s[yi[:, None], xi[None, :]]
+    # Nearest upsample: y -> y // s with trailing rows/cols replicating
+    # the last source pixel when h0 % s != 0. Implemented as repeat +
+    # edge-pad: a 2D index gather here costs ~4.4 ms at KITTI res (TPU
+    # gathers serialize; see PLAN_NEXT "identity-index gathers") vs
+    # ~0.17 ms for the repeat, for identical values.
+    def _nearest_up(x):
+        up = jnp.repeat(jnp.repeat(x, s, axis=0), s, axis=1)
+        ph, pw = h0 - hs * s, w0 - ws * s
+        if ph or pw:
+            up = jnp.pad(up, ((0, ph), (0, pw)), mode="edge")
+        return up
+
+    disp = _nearest_up(disp_s)
 
     # Edge-aware smoothing of the quantized staircase: on SMOOTH fully-
     # valid surfaces (local half-res disparity spread <= 1 px over the
@@ -203,7 +211,7 @@ def _sgm_forward(
                                        dy, dx, -jnp.inf))
             all_ok = all_ok * roll2(vf, dy, dx, 0.0)
     smooth_s = (all_ok > 0.5) & ((hi - lo) <= float(s))
-    smooth = smooth_s[yi[:, None], xi[None, :]]
+    smooth = _nearest_up(smooth_s)
     disp = jnp.where(smooth & (disp >= 0), bilin, disp)
 
     meta = disparity_with_metadata(disp, stereo, config.sgm)

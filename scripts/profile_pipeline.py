@@ -6,6 +6,8 @@ dead-code-eliminate any part of the stage (the trap the original bench.py
 fell into — see bench.py docstring).
 
 Usage: python scripts/profile_pipeline.py [n1 n2]
+Env: MODT_FLOW_SCALE / MODT_SGM_SCALE (default 1) profile the serving
+operating point (bench auto = 2/2 with scale-2-gated weights).
 """
 import os
 import sys
@@ -24,13 +26,34 @@ from moving_object_detector_tpu.utils.profiling import chain_slope_ms
 H, W = 376, 1242
 N1 = int(sys.argv[1]) if len(sys.argv) > 1 else 12
 N2 = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+FLOW_SCALE = int(os.environ.get("MODT_FLOW_SCALE", "1"))
+SGM_SCALE = int(os.environ.get("MODT_SGM_SCALE", "1"))
 
-config = PipelineConfig(height=H, width=W)
+config = PipelineConfig(height=H, width=W, flow_input_scale=FLOW_SCALE,
+                        sgm_input_scale=SGM_SCALE)
+print(f"# operating point: flow_input_scale={FLOW_SCALE} "
+      f"sgm_input_scale={SGM_SCALE}", flush=True)
 stereo = StereoModel.create(fx=721.5, fy=721.5, cx=W / 2, cy=H / 2,
                             baseline=0.54)
 cam = stereo.cam
-model = PWCNet(config=config.flownet)
-params = init_pwc_params(model, H, W)
+from moving_object_detector_tpu.utils.checkpoint import (
+    load_flow_checkpoint,
+    resolve_flow_checkpoint,
+)
+
+_ckpt = resolve_flow_checkpoint(os.environ.get("MODT_FLOW_CKPT", "auto"))
+if _ckpt:
+    import dataclasses
+
+    _params, _flow_cfg = load_flow_checkpoint(_ckpt, config.flownet)
+    config = dataclasses.replace(config, flownet=_flow_cfg)
+    model = PWCNet(config=_flow_cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, _params)
+    print(f"# flow weights: {_ckpt}", flush=True)
+else:
+    model = PWCNet(config=config.flownet)
+    params = init_pwc_params(model, H, W)
+    print("# flow weights: random init", flush=True)
 
 rng = np.random.default_rng(0)
 left = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
@@ -53,25 +76,25 @@ def t(name, step, init):
     return dt
 
 
-# --- SGM ---
-from moving_object_detector_tpu.ops.sgm import sgm_disparity_raw
+# --- SGM (through _sgm_forward so sgm_input_scale is honored) ---
+from moving_object_detector_tpu.pipeline import _sgm_forward
 
 def sgm_step(carry):
     l, r = carry
-    d = sgm_disparity_raw(l, r, config.sgm)
-    return l + witness(d), r
+    d = _sgm_forward(l, r, stereo, config)
+    return l + witness(d.disparity), r
 
-t("SGM disparity (pallas v2)", sgm_step, (left, right))
+t(f"SGM disparity (pallas v2, 1/{SGM_SCALE})", sgm_step, (left, right))
 
 # --- Flow forward ---
 from moving_object_detector_tpu.pipeline import _flow_forward
 
 def flow_step(carry):
     p, n = carry
-    f = _flow_forward(params, model, p, n)
+    f = _flow_forward(params, model, p, n, input_scale=FLOW_SCALE)
     return p + witness(f), n
 
-t("PWC-Net flow fwd", flow_step, (prev_left, left))
+t(f"PWC-Net flow fwd (1/{FLOW_SCALE})", flow_step, (prev_left, left))
 
 # --- Ego-motion ---
 from moving_object_detector_tpu.egomotion import estimate_motion

@@ -116,3 +116,84 @@ def test_cc_pallas_capped_span_same_partition(span):
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
     assert int(iters) <= 64
+
+
+def test_cluster_stats_kernel_matches_unrolled():
+    """cluster_stats_pallas == the unrolled masked-pass form on random
+    labels/points/roots, including empty root slots (sentinel n)."""
+    from moving_object_detector_tpu.ops.cluster_stats_pallas import (
+        cluster_stats_pallas,
+    )
+
+    h, w, cap = 36, 150, 8
+    n = h * w
+    rng = np.random.default_rng(7)
+    # A handful of components: labels are min-flat-index style values.
+    comp_roots = np.sort(rng.choice(n, 5, replace=False)).astype(np.int32)
+    lab = np.full((h, w), n, np.int32)
+    flat = lab.reshape(-1)
+    assign = rng.integers(0, 6, n)  # 5 = background
+    for i, r in enumerate(comp_roots):
+        flat[assign == i] = r
+        flat[r] = r  # root pixel belongs to its component
+    pts = rng.normal(0, 3, (h, w, 3)).astype(np.float32)
+    # Select 3 real roots + sentinel padding in the remaining slots.
+    roots = np.full((cap,), n, np.int32)
+    roots[:3] = comp_roots[:3]
+
+    cid, mins, maxs, csize = cluster_stats_pallas(
+        jnp.asarray(lab), jnp.asarray(pts), jnp.asarray(roots),
+        interpret=True,
+    )
+
+    flat_pts = pts.reshape(n, 3)
+    cid_ref = np.full((n,), cap, np.int32)
+    for c in range(cap):
+        cid_ref[(roots[c] < n) & (flat == roots[c])] = c
+    np.testing.assert_array_equal(np.asarray(cid).reshape(-1), cid_ref)
+    for c in range(cap):
+        m = cid_ref == c
+        if m.any():
+            np.testing.assert_array_equal(
+                np.asarray(mins)[c], flat_pts[m].min(axis=0))
+            np.testing.assert_array_equal(
+                np.asarray(maxs)[c], flat_pts[m].max(axis=0))
+        else:
+            assert np.all(np.isinf(np.asarray(mins)[c]))
+            assert np.all(np.isinf(np.asarray(maxs)[c]))
+        assert int(np.asarray(csize)[c]) == int(m.sum())
+
+
+def test_cluster_scene_flow_pallas_matches_xla_end_to_end():
+    """Full cluster_scene_flow: the pallas backend (CC kernel + fused
+    stats kernel) must be BITWISE equal to the XLA oracle backend on a
+    busy multi-cluster scene."""
+    import dataclasses
+
+    from moving_object_detector_tpu.clusterer import cluster_scene_flow
+    from moving_object_detector_tpu.config import ClustererConfig
+    from moving_object_detector_tpu.types import SceneFlowCloud
+
+    h, w = 48, 160
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-4, 4, (h, w, 3)).astype(np.float32)
+    pts[..., 2] = rng.uniform(4, 20, (h, w))
+    vel = np.zeros((h, w, 3), np.float32)
+    for cy, cx, r in ((12, 30, 8), (30, 90, 11), (20, 140, 6)):
+        yy, xx = np.mgrid[0:h, 0:w]
+        m = (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+        vel[m] = rng.uniform(0.5, 2.0, 3).astype(np.float32)
+        pts[m, 2] = 8.0 + 0.01 * rng.standard_normal(m.sum())
+    # Some NaN (invalid) velocity pixels -> static, as in the pipeline.
+    vel[rng.uniform(size=(h, w)) < 0.05] = np.nan
+    cloud = SceneFlowCloud(points=jnp.asarray(pts), velocity=jnp.asarray(vel))
+
+    base = ClustererConfig(cluster_size=6, max_objects=8)
+    obj_x, lab_x = cluster_scene_flow(
+        cloud, dataclasses.replace(base, cc_backend="xla"))
+    obj_p, lab_p = cluster_scene_flow(
+        cloud, dataclasses.replace(base, cc_backend="pallas_interpret"))
+    np.testing.assert_array_equal(np.asarray(lab_x), np.asarray(lab_p))
+    for lx, lp in zip(jax.tree_util.tree_leaves(obj_x),
+                      jax.tree_util.tree_leaves(obj_p)):
+        np.testing.assert_array_equal(np.asarray(lx), np.asarray(lp))

@@ -254,3 +254,30 @@ def test_sgm_input_scale_half_res(rng):
     invalid = disp[disp < 0]
     assert invalid.size > 0
     np.testing.assert_array_equal(invalid, -1.0)
+
+
+def test_sgm_input_scale_odd_resolution(rng):
+    """At odd h/w with sgm_input_scale=2 the repeat+edge-pad nearest
+    upsample must match the y -> min(y//s, hs-1) index map: the trailing
+    full-res row/col replicates the LAST half-res source row/col (which
+    rows h-3..h-1 / cols w-3..w-1 all map to)."""
+    from moving_object_detector_tpu.config import PipelineConfig
+    from moving_object_detector_tpu.pipeline import _sgm_forward
+
+    h, w, d_true = 65, 97, 12
+    left = textured_image(h, w, rng)
+    right = shift_right_image(left, d_true)
+    config = PipelineConfig(
+        height=h, width=w, sgm_input_scale=2,
+        sgm=dataclasses.replace(CFG, backend="xla"),
+    )
+    disp = np.asarray(
+        _sgm_forward(
+            jnp.asarray(left), jnp.asarray(right), STEREO, config
+        ).disparity
+    )
+    assert disp.shape == (h, w)
+    np.testing.assert_array_equal(disp[h - 1], disp[h - 2])
+    np.testing.assert_array_equal(disp[h - 2], disp[h - 3])
+    np.testing.assert_array_equal(disp[:, w - 1], disp[:, w - 2])
+    np.testing.assert_array_equal(disp[:, w - 2], disp[:, w - 3])
