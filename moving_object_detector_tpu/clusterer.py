@@ -65,6 +65,58 @@ def cluster_scene_flow(
     vnorm = jnp.sqrt(jnp.sum(vel * vel, axis=-1))
     dynamic = vnorm >= dynamic_speed
 
+    # Quiet-frame early-out: with ZERO dynamic pixels the full path
+    # provably yields the empty result (all labels = background sentinel
+    # -> no runs -> every root slot invalid -> valid all False, outputs
+    # zeroed, label image -1), so a lax.cond skips the CC fixpoint, the
+    # 467k-element lexicographic sort and the stats pass (~1.5 ms at
+    # KITTI res) and returns that constant directly. This is the common
+    # case on real streams (no moving object in view) and mirrors the
+    # reference, whose per-cluster loops simply have nothing to do on an
+    # empty dynamic map (clusterer_nodelet.cpp:56-83). Under vmap the
+    # cond degrades to computing both branches — the prior behavior.
+    def _empty_branch(cloud, vel, vnorm, dynamic):
+        objects = MovingObjects(
+            id=jnp.full((cap,), -1, jnp.int32),
+            center=jnp.zeros((cap, 3), jnp.float32),
+            velocity=jnp.zeros((cap, 3), jnp.float32),
+            bounding_box=jnp.zeros((cap, 3), jnp.float32),
+            valid=jnp.zeros((cap,), bool),
+        )
+        return objects, jnp.full((h, w), -1, jnp.int32)
+
+    return jax.lax.cond(
+        jnp.any(dynamic),
+        partial(
+            _cluster_dynamic,
+            config=config,
+            dynamic_speed=dynamic_speed,
+            depth_diff=depth_diff,
+            cluster_size=cluster_size,
+        ),
+        _empty_branch,
+        cloud,
+        vel,
+        vnorm,
+        dynamic,
+    )
+
+
+def _cluster_dynamic(
+    cloud,
+    vel,
+    vnorm,
+    dynamic,
+    *,
+    config,
+    dynamic_speed,
+    depth_diff,
+    cluster_size,
+):
+    h, w = cloud.points.shape[:2]
+    n = h * w
+    cap = config.max_objects
+
     depth = cloud.points[..., 2]
     from .ops import resolve_auto_backend
 

@@ -200,3 +200,31 @@ def test_capacity_overflow_keeps_first_clusters():
     assert np.asarray(objects.valid).sum() == 2  # first two in raster order
     ids = np.asarray(objects.id)
     assert set(ids[np.asarray(objects.valid)]) == {0, 1}
+
+
+def test_quiet_early_out_matches_full_path():
+    """The zero-dynamic lax.cond early-out must be BITWISE identical to
+    what the full CC/sort/stats path produces on an all-static cloud."""
+    import jax
+
+    from moving_object_detector_tpu.clusterer import _cluster_dynamic
+
+    pts, vel = make_cloud()
+    fill_block(pts, vel, 4, 10, 5, 13, z=2.0, v=[0.01, 0.0, 0.0])  # slow
+    cloud = SceneFlowCloud(points=jnp.asarray(pts), velocity=jnp.asarray(vel))
+    obj_fast, lab_fast = cluster_scene_flow(cloud, CFG)
+
+    vnorm = jnp.sqrt(jnp.sum(cloud.velocity**2, axis=-1))
+    obj_full, lab_full = _cluster_dynamic(
+        cloud, cloud.velocity, vnorm,
+        vnorm >= jnp.float32(CFG.dynamic_speed),
+        config=CFG,
+        dynamic_speed=jnp.float32(CFG.dynamic_speed),
+        depth_diff=jnp.float32(CFG.depth_diff),
+        cluster_size=jnp.int32(CFG.cluster_size),
+    )
+    np.testing.assert_array_equal(np.asarray(lab_fast), np.asarray(lab_full))
+    assert not bool(np.asarray(obj_full.valid).any())
+    for a, b in zip(jax.tree_util.tree_leaves(obj_fast),
+                    jax.tree_util.tree_leaves(obj_full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
