@@ -62,6 +62,14 @@ def main(argv=None):
                          "at 384x896 with the promoted pwc_v5 weights "
                          "(flow_scale=2 sgm_scale=2: 6/7 frames, 0 "
                          "phantoms, vel err 0.303, 2026-08-19), else 1")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="repeat the timed slope measurement N times in "
+                         "one process (no recompiles) and report "
+                         "min/median/max per-frame times on stderr; the "
+                         "JSON value is the MEDIAN throughput. Bounds "
+                         "run-to-run variance (tunnel dispatch jitter, "
+                         "thermal) separately from compile-to-compile "
+                         "variance.")
     ap.add_argument("--probe-all", action="store_true",
                     help="also consume every DEBUG output per frame "
                          "(label image, static flow, depth...), i.e. the "
@@ -306,7 +314,19 @@ def main(argv=None):
     run(n1)
     print(f"# compile+first {n1} frames: {time.time() - t0:.1f}s",
           file=sys.stderr)
-    per_frame = (run(n2) - run(n1)) / (n2 - n1)
+    samples = []
+    for r in range(max(1, args.repeat)):
+        pf = (run(n2) - run(n1)) / (n2 - n1)
+        samples.append(pf)
+        if args.repeat > 1:
+            print(f"# repeat {r}: {1.0 / pf:.2f} pairs/s "
+                  f"({pf * 1e3:.3f} ms/frame)", file=sys.stderr)
+    per_frame = float(np.median(samples))
+    if args.repeat > 1:
+        print(f"# per-frame ms over {len(samples)} repeats: "
+              f"min={min(samples) * 1e3:.3f} "
+              f"median={per_frame * 1e3:.3f} "
+              f"max={max(samples) * 1e3:.3f}", file=sys.stderr)
     # Per-CHIP throughput: N streams over N*K devices aggregate
     # n_streams/per_frame pairs/s on n_streams*n_spatial chips.
     pairs_per_sec = n_streams / per_frame / n_spatial

@@ -31,6 +31,7 @@ def cluster_scene_flow(
     dynamic_speed: jnp.ndarray | None = None,
     depth_diff: jnp.ndarray | None = None,
     cluster_size: jnp.ndarray | None = None,
+    neighbor_distance: jnp.ndarray | None = None,
 ):
     """Cluster dynamic pixels into moving objects.
 
@@ -52,6 +53,13 @@ def cluster_scene_flow(
     )
     cluster_size = (
         jnp.int32(config.cluster_size) if cluster_size is None else cluster_size
+    )
+    # Traced effective radius; config.neighbor_distance is the static
+    # stencil bound (tunables.py: any runtime value <= it retunes hot).
+    neighbor_distance = (
+        jnp.int32(config.neighbor_distance)
+        if neighbor_distance is None
+        else neighbor_distance
     )
 
     h, w = cloud.points.shape[:2]
@@ -93,6 +101,7 @@ def cluster_scene_flow(
             dynamic_speed=dynamic_speed,
             depth_diff=depth_diff,
             cluster_size=cluster_size,
+            neighbor_distance=neighbor_distance,
         ),
         _empty_branch,
         cloud,
@@ -112,6 +121,7 @@ def _cluster_dynamic(
     dynamic_speed,
     depth_diff,
     cluster_size,
+    neighbor_distance,
 ):
     h, w = cloud.points.shape[:2]
     n = h * w
@@ -128,18 +138,20 @@ def _cluster_dynamic(
             dynamic,
             depth,
             depth_diff,
-            neighbor_distance=config.neighbor_distance,
+            neighbor_distance=neighbor_distance,
             max_iters=config.max_cc_iters,
             interpret=backend == "pallas_interpret",
             max_span=config.cc_scan_span,
+            stencil_radius=config.neighbor_distance,
         )
     else:
         labels = connected_components(
             dynamic,
             depth,
             depth_diff,
-            neighbor_distance=config.neighbor_distance,
+            neighbor_distance=neighbor_distance,
             max_iters=config.max_cc_iters,
+            stencil_radius=config.neighbor_distance,
         )
     flat_labels = labels.reshape(-1)
 

@@ -56,6 +56,11 @@ class ClustererConfig:
     cluster_size: int = 2500
     depth_diff: float = 0.15
     dynamic_speed: float = 0.3
+    # Compile-time MAXIMUM window radius (stencil shape). The effective
+    # radius is the Tunables.neighbor_distance traced scalar (defaults to
+    # this value): any runtime retune in [0, this] applies without a
+    # recompile (Clusterer.cfg:11 is hot-tunable like the other knobs);
+    # raising the maximum itself recompiles.
     neighbor_distance: int = 4
     max_objects: int = 16
     # Upper bound on label-propagation sweeps for connected components.
@@ -124,7 +129,16 @@ class SGMConfig:
     lr_check: bool = True
     lr_max_diff: float = 1.0
     subpixel: bool = True
-    uniqueness_ratio: float = 0.95
+    # Uniqueness test (libSGM/OpenCV-SGBM lineage): invalidate a pixel
+    # whose best total does not beat every non-adjacent disparity's total
+    # by the factor 1/ratio (min_{|d-best|>1} total(d) * ratio >= best).
+    # Implemented in the XLA and Pallas v2 WTA (ops/sgm.py,
+    # ops/sgm_pallas2.py, bitwise-matching). Default 0 = DISABLED: the
+    # sgm_gpu CUDA kernel the reference consumed (sgm_gpu_ros, SURVEY.md
+    # §2.3) applies no uniqueness filter — its post-processing is the LR
+    # check only — and every quality gate in this repo was validated with
+    # it off. 0.95 reproduces the libSGM default when wanted.
+    uniqueness_ratio: float = 0.0
     # SGM backend: "auto" picks the fused v2 Pallas kernels on TPU and the
     # lax.scan reference ("xla") on CPU; "pallas" forces v2; "pallas_v1"
     # the superseded cost-volume kernels; *_interpret variants run the

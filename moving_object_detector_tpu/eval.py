@@ -197,3 +197,184 @@ def evaluate_synthetic_sequence(results, sequence) -> dict:
             np.nanmean([m.mean_center_error for m in per_frame])
         ),
     }
+
+
+def evaluate_planar_sequence(
+    seq,
+    flow_params=None,
+    flow_model=None,
+    flow_input_scale: int = 1,
+    sgm_input_scale: int = 1,
+    config=None,
+    min_visible_frac: float = 1.5,
+    hit_margin_px: int = 16,
+    details: bool = False,
+) -> dict:
+    """Run the FULL pipeline over a PlanarSceneSequence and score every
+    product against the renderer's analytic ground truth (io/scenes.py).
+
+    This is the quantitative replacement for the reference's entire
+    validation story (a human watching rviz over a Gazebo run,
+    README.md:54-68): per-frame SGM D1, optical-flow EPE/Fl on
+    previously-visible pixels, ego-motion rotation/translation error, and
+    end-to-end detection hits / phantoms / velocity error against every
+    scene object.
+
+    Detection scoring: a GT object is *scoreable* in a frame when its
+    visible pixel count is at least ``min_visible_frac * cluster_size``
+    (an occluded or frame-exiting object is not a miss). A detection is a
+    hit for the GT object whose (padded) visible-pixel box contains its
+    projected center; matching none of the objects makes it a phantom.
+
+    Returns a flat dict of aggregate metrics.
+    """
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from .config import PipelineConfig
+    from .pipeline import PipelineState, detect_step
+    from .types import StereoModel
+
+    h, w = seq.h, seq.w
+    if config is None:
+        config = PipelineConfig(
+            height=h, width=w,
+            flow_input_scale=flow_input_scale,
+            sgm_input_scale=sgm_input_scale,
+        )
+        # Resolution-rescaled tunables, exactly as a reference user would
+        # set via dynamic_reconfigure for a non-KITTI stream
+        # (Clusterer.cfg:8, SceneFlowConstructor.cfg:8): cluster_size is
+        # a frame-area fraction, dynamic_flow_diff a pixel threshold.
+        ref_frac = 2500.0 / (1242.0 * 376.0)
+        config = _dc.replace(
+            config,
+            clusterer=_dc.replace(
+                config.clusterer,
+                cluster_size=max(50, int(ref_frac * h * w)),
+            ),
+            scene_flow=_dc.replace(
+                config.scene_flow,
+                dynamic_flow_diff=config.scene_flow.dynamic_flow_diff
+                * (w / 1242.0),
+            ),
+        )
+    stereo = StereoModel.create(
+        fx=seq.fx, fy=seq.fy, cx=seq.cx, cy=seq.cy, baseline=seq.baseline
+    )
+    state = PipelineState.create(config)
+    step = jax.jit(
+        lambda s, l, r, t: detect_step(
+            flow_params, s, l, r, t, stereo, config,
+            flow_model=flow_model,
+        )
+    )
+
+    d1s, flows, rot_errs, trans_errs = [], [], [], []
+    detail_frames = []
+    hits = misses = phantoms = 0
+    vel_errs, center_errs = [], []
+    ego_fail = 0
+    for k in range(seq.n_frames):
+        left, right, t, truth = seq.frame(k)
+        state, out = step(
+            state, jnp.asarray(left), jnp.asarray(right), jnp.float32(t)
+        )
+        d1s.append(
+            disparity_d1(np.asarray(out.disparity.disparity),
+                         truth["disparity"])
+        )
+        if k == 0:
+            continue
+        flows.append(
+            flow_epe(np.asarray(out.flow), truth["flow"],
+                     valid_mask=truth["prev_visible"])
+        )
+        m_est = np.asarray(out.motion, np.float64)
+        m_gt = truth["motion_prev2now"].astype(np.float64)
+        dr = m_est[:3, :3] @ m_gt[:3, :3].T
+        ang = np.degrees(
+            np.arccos(np.clip((np.trace(dr) - 1.0) / 2.0, -1.0, 1.0))
+        )
+        rot_errs.append(float(ang))
+        trans_errs.append(float(np.linalg.norm(m_est[:3, 3] - m_gt[:3, 3])))
+        ego_fail += int(not bool(out.ego_success))
+
+        valid = np.asarray(out.detections.valid)
+        centers = np.asarray(out.detections.center)
+        vels = np.asarray(out.detections.velocity)
+        min_px = min_visible_frac * config.clusterer.cluster_size
+        scoreable = [
+            o for o in truth["objects"]
+            if o["px_box"] is not None and o["visible_px"] >= min_px
+        ]
+        matched = [False] * len(scoreable)
+        for i in np.flatnonzero(valid):
+            cz = centers[i, 2]
+            if cz <= 0:
+                phantoms += 1
+                continue
+            u = seq.fx * centers[i, 0] / cz + seq.cx
+            v = seq.fy * centers[i, 1] / cz + seq.cy
+            hit_j = -1
+            for j, o in enumerate(scoreable):
+                y0, x0, hh, ww = o["px_box"]
+                if (x0 - hit_margin_px <= u <= x0 + ww + hit_margin_px
+                        and y0 - hit_margin_px <= v
+                        <= y0 + hh + hit_margin_px):
+                    hit_j = j
+                    break
+            if hit_j < 0:
+                phantoms += 1
+                continue
+            o = scoreable[hit_j]
+            if not matched[hit_j]:
+                matched[hit_j] = True
+                hits += 1
+                vel_errs.append(float(np.linalg.norm(
+                    vels[i] - o["velocity_cam"]
+                )))
+                center_errs.append(float(np.linalg.norm(
+                    centers[i] - o["center_cam"]
+                )))
+        misses += matched.count(False)
+        if details:
+            detail_frames.append({
+                "k": k,
+                "scoreable": [
+                    {"px_box": o["px_box"], "visible_px": o["visible_px"],
+                     "vel_cam": o["velocity_cam"].tolist(),
+                     "center_cam": o["center_cam"].tolist()}
+                    for o in scoreable
+                ],
+                "matched": list(matched),
+                "detections": [
+                    {"center": centers[i].tolist(),
+                     "vel": vels[i].tolist()}
+                    for i in np.flatnonzero(valid)
+                ],
+            })
+
+    n_scored = hits + misses
+    return {
+        "frames": seq.n_frames,
+        "d1": float(np.nanmean([d["d1"] for d in d1s])),
+        "d1_density": float(np.nanmean([d["density"] for d in d1s])),
+        "disp_mae": float(np.nanmean([d["mae"] for d in d1s])),
+        "flow_epe": float(np.nanmean([f["epe"] for f in flows])),
+        "flow_fl": float(np.nanmean([f["fl"] for f in flows])),
+        "ego_rot_err_deg": float(np.mean(rot_errs)),
+        "ego_trans_err_m": float(np.mean(trans_errs)),
+        "ego_failures": ego_fail,
+        "det_hits": hits,
+        "det_misses": misses,
+        "det_scoreable": n_scored,
+        "phantoms": phantoms,
+        "vel_err_median": float(np.median(vel_errs)) if vel_errs
+        else float("nan"),
+        "center_err_median": float(np.median(center_errs)) if center_errs
+        else float("nan"),
+        **({"detail_frames": detail_frames} if details else {}),
+    }

@@ -68,6 +68,7 @@ class PipelineRunner:
         ring_capacity: int = 4,
         drop_oldest: bool = False,
         reconfigure_file: Optional[str] = None,
+        dashboard=None,
     ):
         self.config = config
         self.stereo = stereo
@@ -93,6 +94,9 @@ class PipelineRunner:
         self.tunables = Tunables.from_config(config)
         self.reconfigure_file = reconfigure_file
         self._reconfigure_mtime: float = -1.0
+        # Live HTTP viewer (io/dashboard.LiveDashboard) — the rqt/rviz
+        # analog; fed on the harvest path, one frame behind the device.
+        self.dashboard = dashboard
 
     def _maybe_reload_tunables(self) -> bool:
         """Between frames: if the reconfigure file changed, apply its
@@ -222,7 +226,7 @@ class PipelineRunner:
                 # Harvest the previous frame while this one computes.
                 if pending is not None:
                     results.append(self._harvest(*pending))
-                pending = (k, t, out)
+                pending = (k, t, out, left)
                 k += 1
             if pending is not None:
                 results.append(self._harvest(*pending))
@@ -256,7 +260,7 @@ class PipelineRunner:
             path, PipelineState.create(self.config)
         )
 
-    def _harvest(self, index: int, t: float, out) -> FrameResult:
+    def _harvest(self, index: int, t: float, out, left=None) -> FrameResult:
         with self.timer.stage("harvest"):
             det = out.detections
             trk = out.tracked.objects
@@ -292,6 +296,11 @@ class PipelineRunner:
         if self.export_dir and index % self.export_every == 0:
             with self.timer.stage("export"):
                 self._export(index, out)
+        if self.dashboard is not None:
+            with self.timer.stage("dashboard"):
+                self.dashboard.update(
+                    index, t, out, left, self.config, self.stereo
+                )
         return result
 
     def _export(self, index: int, out) -> None:

@@ -29,11 +29,9 @@ def write_ppm(path: str, image: np.ndarray) -> None:
         f.write(img.tobytes())
 
 
-def write_png(path: str, image: np.ndarray) -> None:
-    """(H, W) grayscale or (H, W, 3) RGB float [0,1] or uint8 -> PNG
-    (stdlib zlib, filter 0 on every scanline; no external codecs). Browsers
-    render PNG but not PPM, so the HTML report (scripts/make_report.py)
-    uses this."""
+def png_bytes(image: np.ndarray) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB float [0,1] or uint8 -> PNG bytes
+    (stdlib zlib, filter 0 on every scanline; no external codecs)."""
     import struct
     import zlib
 
@@ -53,11 +51,20 @@ def write_png(path: str, image: np.ndarray) -> None:
             + struct.pack(">I", zlib.crc32(tag + data))
         )
 
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def write_png(path: str, image: np.ndarray) -> None:
+    """PNG file form of png_bytes. Browsers render PNG but not PPM, so the
+    HTML report (scripts/make_report.py) and the live dashboard
+    (io/dashboard.py) use this encoder."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(image))
 
 
 def label_colors(n: int) -> np.ndarray:

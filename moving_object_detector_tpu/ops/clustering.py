@@ -51,13 +51,13 @@ def _shift2d(x: jnp.ndarray, dv: int, du: int, fill):
     return padded[pv + dv : pv + dv + h, pu + du : pu + du + w]
 
 
-@partial(jax.jit, static_argnames=("neighbor_distance", "max_iters"))
 def connected_components(
     dynamic: jnp.ndarray,
     depth: jnp.ndarray,
     depth_diff: jnp.ndarray,
-    neighbor_distance: int = 4,
+    neighbor_distance: int | jnp.ndarray = 4,
     max_iters: int = 64,
+    stencil_radius: int | None = None,
 ) -> jnp.ndarray:
     """Label connected components of the dynamic-pixel graph.
 
@@ -66,34 +66,74 @@ def connected_components(
         clusterer_nodelet.cpp:40-54).
       depth: (H, W) f32 z values (NaN allowed on non-dynamic pixels).
       depth_diff: scalar gate on |dz| between adjacent pixels.
-      neighbor_distance: window radius k (cfg default 4).
+      neighbor_distance: window radius k (cfg default 4). May be a TRACED
+        int32 scalar (dynamic_reconfigure retune without recompiling,
+        Clusterer.cfg:11): the stencil is built at the static
+        ``stencil_radius`` and each offset is gated by the traced radius
+        (Chebyshev distance test), which reproduces exactly the radius-k
+        edge set for any k <= stencil_radius. Values above clamp.
       max_iters: safety bound on propagation sweeps.
+      stencil_radius: static compile-time maximum radius. Defaults to
+        ``neighbor_distance`` when that is a plain int.
 
     Returns:
       (H, W) int32 labels: the minimum flat pixel index of the component for
       dynamic pixels, H*W for background.
     """
+    # Resolved OUTSIDE the jitted core: under jit even a plain-int caller
+    # argument arrives as a tracer, so the int-vs-traced distinction must
+    # be made here.
+    if stencil_radius is None:
+        if not isinstance(neighbor_distance, int):
+            raise TypeError(
+                "traced neighbor_distance requires a static stencil_radius"
+            )
+        stencil_radius = neighbor_distance
+    return _connected_components_jit(
+        dynamic, depth, depth_diff, neighbor_distance,
+        max_iters=max_iters, stencil_radius=stencil_radius,
+    )
+
+
+@partial(jax.jit, static_argnames=("stencil_radius", "max_iters"))
+def _connected_components_jit(
+    dynamic, depth, depth_diff, neighbor_distance,
+    *, max_iters, stencil_radius,
+):
     h, w = dynamic.shape
     n = h * w
     sentinel = jnp.int32(n)
     flat_idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     init = jnp.where(dynamic, flat_idx, sentinel)
 
+    nd = jnp.clip(
+        jnp.asarray(neighbor_distance, jnp.int32), 0, stencil_radius
+    )
+
     # z with +inf on invalid so |dz| gates to False against any neighbor.
     z = jnp.where(dynamic & jnp.isfinite(depth), depth, jnp.inf)
 
-    offsets = _edge_offsets(neighbor_distance)
+    offsets = _edge_offsets(stencil_radius)
 
-    # Precompute per-offset edge masks once; reused every sweep.
+    # Precompute per-offset edge masks once; reused every sweep. The
+    # Chebyshev gate (a scalar compare per offset, constant-folded when
+    # nd is static) restricts the static stencil to the traced radius.
     edge_masks = []
     for dv, du in offsets:
         nz = _shift2d(z, dv, du, jnp.inf)
         ndyn = _shift2d(dynamic, dv, du, False)
-        ok = dynamic & ndyn & (jnp.abs(z - nz) <= depth_diff)
+        in_radius = jnp.int32(max(abs(dv), abs(du))) <= nd
+        ok = dynamic & ndyn & (jnp.abs(z - nz) <= depth_diff) & in_radius
         edge_masks.append(ok)
-    edge_masks = jnp.stack(edge_masks)  # (E, H, W)
+    # Radius 0: no edges at all — every dynamic pixel is its own
+    # component, the sweep is the identity.
+    edge_masks = (
+        jnp.stack(edge_masks) if edge_masks else None
+    )  # (E, H, W)
 
     def sweep(label):
+        if edge_masks is None:
+            return label
         best = label
         for i, (dv, du) in enumerate(offsets):
             neigh = _shift2d(label, dv, du, sentinel)
@@ -110,10 +150,10 @@ def connected_components(
     # iterating both to a fixed point yields the exact partition.
     adj_h = dynamic & _shift2d(dynamic, 0, -1, False) & (
         jnp.abs(z - _shift2d(z, 0, -1, jnp.inf)) <= depth_diff
-    )
+    ) & (nd >= 1)
     adj_v = dynamic & _shift2d(dynamic, -1, 0, False) & (
         jnp.abs(z - _shift2d(z, -1, 0, jnp.inf)) <= depth_diff
-    )
+    ) & (nd >= 1)
 
     def seg_min_scan(label, barrier, axis, reverse):
         # Classical segmented-scan operator (Blelloch): a segment-start flag

@@ -48,7 +48,7 @@ def _roll2d(x, dv, du):
 
 
 def _cc_kernel(
-    dyn_ref, z_ref, dd_ref, off_ref, label_ref, iters_ref,
+    dyn_ref, z_ref, dd_ref, nd_ref, off_ref, label_ref, iters_ref,
     *, h, w, hp, wp, dv_groups, max_iters, max_span,
 ):
     # Mosaic only rotates 32-bit vectors: anything rolled (dyn, adjacency,
@@ -57,6 +57,10 @@ def _cc_kernel(
     # made Mosaic allocate a fresh VMEM stack slot per step (207 MB for
     # the 48-offset sweep + 4x11 doubling scans; the scoped limit is 16).
     dd = dd_ref[0]
+    # Traced effective radius (dynamic_reconfigure retune without
+    # recompiling, Clusterer.cfg:11): the static stencil covers the
+    # compile-time maximum; each offset is gated by Chebyshev <= radius.
+    nd_radius = nd_ref[0]
 
     vi0 = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
     ui0 = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
@@ -98,9 +102,12 @@ def _cc_kernel(
         vi, ui = iotas()
         okv = (vi + dv >= 0) & (vi + dv < h)
         oku = (ui + du >= 0) & (ui + du < w)
+        in_radius = (
+            jnp.maximum(jnp.abs(jnp.int32(dv)), jnp.abs(du)) <= nd_radius
+        )
         ok = (
             (dyn_plane & 16 != 0) & (nd != 0) & okv & oku
-            & (jnp.abs(z - nz) <= dd)
+            & (jnp.abs(z - nz) <= dd) & in_radius
         )
         return ok.astype(jnp.int32)
 
@@ -223,22 +230,16 @@ def _cc_kernel(
     iters_ref[0] = n_iters
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "neighbor_distance", "max_iters", "interpret", "return_iters",
-        "max_span",
-    ),
-)
 def connected_components_pallas(
     dynamic: jnp.ndarray,
     depth: jnp.ndarray,
     depth_diff: jnp.ndarray,
-    neighbor_distance: int = 4,
+    neighbor_distance: int | jnp.ndarray = 4,
     max_iters: int = 64,
     interpret: bool = False,
     return_iters: bool = False,
     max_span: int = 0,
+    stencil_radius: int | None = None,
 ) -> jnp.ndarray:
     """Drop-in for ops.clustering.connected_components on TPU (whole image
     resident in VMEM; fits comfortably up to ~1000x2600).
@@ -250,7 +251,41 @@ def connected_components_pallas(
     ``max_span`` > 0 caps the per-iteration distance-doubling scan reach
     (in pixels); components wider/taller than the cap converge over extra
     fixpoint iterations instead. Same partition, fewer rolls per
-    iteration when real components are much smaller than the frame."""
+    iteration when real components are much smaller than the frame.
+
+    ``neighbor_distance`` may be a traced int32 scalar (dynamic_reconfigure
+    retune without recompiling, Clusterer.cfg:11): the stencil is built at
+    the static ``stencil_radius`` (defaults to ``neighbor_distance`` when
+    that is a plain int) and every offset is gated in-kernel by Chebyshev
+    distance <= the traced radius, reproducing the radius-k edge set
+    exactly for any k <= stencil_radius (values above clamp)."""
+    # Resolved OUTSIDE the jitted core: under jit even a plain-int caller
+    # argument arrives as a tracer.
+    if stencil_radius is None:
+        if not isinstance(neighbor_distance, int):
+            raise TypeError(
+                "traced neighbor_distance requires a static stencil_radius"
+            )
+        stencil_radius = neighbor_distance
+    return _connected_components_pallas_jit(
+        dynamic, depth, depth_diff, neighbor_distance,
+        max_iters=max_iters, interpret=interpret,
+        return_iters=return_iters, max_span=max_span,
+        stencil_radius=stencil_radius,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "stencil_radius", "max_iters", "interpret", "return_iters",
+        "max_span",
+    ),
+)
+def _connected_components_pallas_jit(
+    dynamic, depth, depth_diff, neighbor_distance,
+    *, max_iters, interpret, return_iters, max_span, stencil_radius,
+):
     h, w = dynamic.shape
     hp = -(-h // 8) * 8
     wp = -(-w // 128) * 128
@@ -261,7 +296,10 @@ def connected_components_pallas(
         constant_values=jnp.inf,
     )
     dd = jnp.asarray(depth_diff, jnp.float32).reshape(1)
-    off_list = _edge_offsets(neighbor_distance)
+    nd = jnp.clip(
+        jnp.asarray(neighbor_distance, jnp.int32), 0, stencil_radius
+    ).reshape(1)
+    off_list = _edge_offsets(stencil_radius)
     offsets = jnp.asarray(off_list, jnp.int32)
     # Static (dv, base, count) runs of the dv-contiguous offset list, so
     # the kernel can hoist one static row rotate per dv group.
@@ -285,6 +323,7 @@ def connected_components_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -300,7 +339,7 @@ def connected_components_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(dyn, z, dd, offsets)
+    )(dyn, z, dd, nd, offsets)
     if return_iters:
         return out[:h, :w], iters[0]
     return out[:h, :w]

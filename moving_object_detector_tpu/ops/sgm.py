@@ -255,6 +255,25 @@ def wta_disparity(total: jnp.ndarray, cfg: SGMConfig) -> jnp.ndarray:
         disp = disp + _subpixel_offset(c0, cm, cp, best, d)
 
     valid = jnp.ones((h, w), bool)
+    if cfg.uniqueness_ratio > 0:
+        # Uniqueness test (libSGM/SGBM lineage): the winner must beat every
+        # non-adjacent candidate by the margin 1/ratio, else the match is
+        # ambiguous and the pixel is invalidated. A second rolled pass over
+        # the volume computes min cost over |d - best| > 1; only compiled
+        # in when the knob is enabled so the default path is unchanged.
+        ratio = jnp.float32(cfg.uniqueness_ratio)
+
+        def ubody(dd, umin):
+            sl = jax.lax.dynamic_slice(tot, (dd, 0, 0), (1, h, w))[0]
+            excl = jnp.abs(dd - best) <= 1
+            return jnp.minimum(
+                umin, jnp.where(excl, jnp.inf, sl.astype(jnp.float32))
+            )
+
+        umin = jax.lax.fori_loop(
+            0, d, ubody, jnp.full((h, w), jnp.inf, jnp.float32)
+        )
+        valid = valid & (umin * ratio >= c0)
     if cfg.lr_check:
         # For each left pixel: the matching right pixel x - d_L.
         xr = jnp.round(jnp.arange(w)[None, :] - disp).astype(jnp.int32)
@@ -339,8 +358,15 @@ def sgm_disparity_raw(
             p1=int(cfg.p1), p2=int(cfg.p2),
             subpixel=cfg.subpixel, lr_check=cfg.lr_check,
             lr_max_diff=float(cfg.lr_max_diff), interpret=interp,
+            uniqueness_ratio=float(cfg.uniqueness_ratio),
         )
     elif backend in ("pallas_v1", "pallas_v1_interpret"):
+        if cfg.uniqueness_ratio > 0:
+            raise ValueError(
+                "uniqueness_ratio > 0 is supported by the 'xla' and "
+                "'pallas' (v2) backends only; the superseded v1 WTA "
+                "kernel does not implement it."
+            )
         from .sgm_pallas import aggregate_cost_volume_pallas
 
         interp = backend == "pallas_v1_interpret"

@@ -303,7 +303,7 @@ def _wta_kernel(
     hf_ref, hb_ref, vt_ref, cl_ref, crp2_ref, crp_ref, cr_ref,
     out_ref,
     b_ref, ring_d_ref, ring_r_ref, scr_ref,
-    *, blk, width, hl, p_subpixel, p_lr, lr_max_diff,
+    *, blk, width, hl, p_subpixel, p_lr, lr_max_diff, p_uniq,
 ):
     """Fused WTA scanning x: reconstruct totals, left/right argmin,
     subpixel, LR check. Emits disparity for pixel x - 127 at step x."""
@@ -353,6 +353,15 @@ def _wta_kernel(
             interior = (best > 0) & (best < _D - 1)
             disp = disp + jnp.where(interior, offset, 0.0)
         valid = (x >= best) & (x < width)
+        if p_uniq > 0:
+            # Uniqueness (libSGM/SGBM lineage): winner must beat every
+            # non-adjacent candidate by 1/ratio — one extra masked sublane
+            # min over the already-resident totals (ops/sgm.py semantics).
+            umin = jnp.min(
+                jnp.where(jnp.abs(d_iota - best) <= 1, big, total),
+                axis=0, keepdims=True,
+            ).astype(jnp.float32)
+            valid = valid & (umin * jnp.float32(p_uniq) >= c0)
         disp = jnp.where(valid, disp, -1.0)
 
         # Right view systolic: B[k] accumulates min over d<=k of
@@ -396,7 +405,7 @@ def wta_from_parts(
     cl_t: jnp.ndarray, cr_t_rev: jnp.ndarray,
     width: int,
     subpixel: bool = True, lr_check: bool = True, lr_max_diff: float = 1.0,
-    interpret: bool = False, blk: int = 64,
+    interpret: bool = False, blk: int = 64, uniqueness_ratio: float = 0.0,
 ):
     """Fused WTA over streamed parts.
 
@@ -429,6 +438,7 @@ def wta_from_parts(
         partial(
             _wta_kernel, blk=blk, width=width, hl=_D,
             p_subpixel=subpixel, p_lr=lr_check, lr_max_diff=lr_max_diff,
+            p_uniq=float(uniqueness_ratio),
         ),
         grid=(stripes, nbx),
         in_specs=[vol(vmap_), vol(vmap_), vol(vmap_),
@@ -454,7 +464,8 @@ def _pad_to(x: jnp.ndarray, mult0: int, mult1: int):
 
 
 @partial(jax.jit, static_argnames=(
-    "p1", "p2", "subpixel", "lr_check", "lr_max_diff", "interpret"))
+    "p1", "p2", "subpixel", "lr_check", "lr_max_diff", "interpret",
+    "uniqueness_ratio"))
 def sgm_disparity_v2(
     census_l: jnp.ndarray,
     census_r: jnp.ndarray,
@@ -464,6 +475,7 @@ def sgm_disparity_v2(
     lr_check: bool = True,
     lr_max_diff: float = 1.0,
     interpret: bool = False,
+    uniqueness_ratio: float = 0.0,
 ) -> jnp.ndarray:
     """Full v2 SGM from (H, W) int32 census images to (H, W) f32 disparity
     (-1 invalid). Bitwise-equal to ops.sgm's XLA reference pipeline."""
@@ -483,7 +495,7 @@ def sgm_disparity_v2(
     scan = wta_from_parts(
         hf, hb, vt, cl_t, cr_t_rev, w,
         subpixel=subpixel, lr_check=lr_check, lr_max_diff=lr_max_diff,
-        interpret=interpret,
+        interpret=interpret, uniqueness_ratio=uniqueness_ratio,
     )
     # Row x of `scan` holds pixel x - 127: shift, crop, back to (H, W).
     return scan[_D - 1: _D - 1 + w, :h].T

@@ -329,6 +329,7 @@ def detect_step(
         dynamic_speed=tunables.dynamic_speed,
         depth_diff=tunables.depth_diff,
         cluster_size=tunables.cluster_size,
+        neighbor_distance=tunables.neighbor_distance,
     )
 
     # --- Odometry integration (integrateAndBroadcastTF,

@@ -81,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sgm-input-scale", type=int, default=1,
                    help="run SGM stereo at 1/N resolution (nearest-"
                         "upsampled disparities x N)")
+    p.add_argument("--serve-port", type=int, default=None,
+                   help="serve a live dashboard (camera+detections, "
+                        "clusters, flow, depth + status) at "
+                        "http://HOST:PORT/ while the run is in flight — "
+                        "the rqt/rviz analog (io/dashboard.py). 0 picks "
+                        "a free port (printed on stderr).")
+    p.add_argument("--serve-host", default="0.0.0.0",
+                   help="bind address for --serve-port")
     p.add_argument("--reconfigure-file", default=None,
                    help="watched JSON file of Tunables fields "
                         "(dynamic_reconfigure analog): edits apply between "
@@ -213,11 +221,19 @@ def main(argv=None) -> int:
     # (scene_flow_constructor.cpp:55-62): when the pipeline can't keep up
     # with the sensor, stale frames are dropped, not queued.
     live = args.source in ("live", "socket")
+    dashboard = None
+    if args.serve_port is not None:
+        from .io.dashboard import LiveDashboard
+
+        dashboard = LiveDashboard(args.serve_port, host=args.serve_host)
+        print(f"# live dashboard: http://{args.serve_host}:"
+              f"{dashboard.port}/", file=sys.stderr)
     runner = PipelineRunner(
         config, stereo, params, model,
         export_dir=args.export_dir, export_every=args.export_every,
         ring_capacity=1 if live else 4, drop_oldest=live,
         reconfigure_file=args.reconfigure_file,
+        dashboard=dashboard,
     )
     if done > 0:
         # The file/synthetic sources restart from their first frame; fast
@@ -285,6 +301,8 @@ def main(argv=None) -> int:
         )
     if args.report:
         print(runner.report(), file=sys.stderr)
+    if dashboard is not None:
+        dashboard.close()
     return 0
 
 

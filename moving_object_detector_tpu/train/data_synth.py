@@ -234,7 +234,21 @@ def _ellipse_mask(xy, center, radii, angle, soft: float = 1.0):
     return jax.nn.sigmoid((1.0 - d) * radii.min() / soft)
 
 
-@partial(jax.jit, static_argnames=("h", "w", "n_objects", "real_frac"))
+def _rect_mask(xy, center, radii, angle, soft: float = 1.0):
+    """Soft rotated-rectangle indicator (Chebyshev-norm analog of
+    _ellipse_mask): real moving objects — and the serving scenes' planar
+    blocks — have straight, hard silhouette edges that the ellipse-only
+    mask family under-trains."""
+    c, sn = jnp.cos(angle), jnp.sin(angle)
+    rel = xy - center
+    u = (rel[..., 0] * c + rel[..., 1] * sn) / radii[0]
+    v = (-rel[..., 0] * sn + rel[..., 1] * c) / radii[1]
+    d = jnp.maximum(jnp.abs(u), jnp.abs(v))
+    return jax.nn.sigmoid((1.0 - d) * radii.min() / soft)
+
+
+@partial(jax.jit, static_argnames=(
+    "h", "w", "n_objects", "real_frac", "local_motion_frac"))
 def generate_pair(
     key,
     h: int,
@@ -243,10 +257,22 @@ def generate_pair(
     max_shift: float = 24.0,
     bg_max_shift: float = 10.0,
     real_frac: float = 0.0,
+    local_motion_frac: float = 0.0,
 ):
     """One (img1, img2, flow) training example, all on device.
 
     img*: (h, w, 1) f32 in [0, 1]; flow: (h, w, 2) forward flow in pixels.
+
+    ``local_motion_frac``: fraction of samples drawn from the LOCAL-MOTION
+    regime — a near-static background with guaranteed-moving objects, half
+    of them hard-edged rectangles under pure translation. This is the
+    serving distribution of the detection task itself (a mostly-stationary
+    camera watching an independently moving object,
+    scene_flow_constructor.cpp:196-209's dynamic test), and the measured
+    blind spot of the v5 curriculum: on real-photo paste probes the net
+    under-tracked a locally-moving 100x64 px rectangle by ~2 px at every
+    shift (2026-08-20, /tmp/probe_paste), costing ~0.4 m/s of end-to-end
+    velocity accuracy. 0.0 reproduces the v5 stream bit-for-bit.
     """
     keys = jax.random.split(key, 5 + 3 * n_objects)
     xy = _grid_xy(h, w)
@@ -258,14 +284,27 @@ def generate_pair(
     # that resurfaces as hallucinated flow wherever the image is
     # uninformative (measured: the stage-B shift-48 retrain regressed the
     # static fine-texture spurious rate from 0.0% back to 43.4%).
-    kmag, kstat = jax.random.split(keys[4])
+    if local_motion_frac > 0:
+        kmag, kstat, klm, kbg2 = jax.random.split(keys[4], 4)
+        is_local = jax.random.uniform(klm, ()) < local_motion_frac
+        # Local-motion samples: background barely moves (scale U[0,0.2]),
+        # objects are guaranteed non-static.
+        bg_scale = jnp.where(
+            is_local, jax.random.uniform(kbg2, ()) * 0.2, 1.0
+        )
+    else:
+        kmag, kstat = jax.random.split(keys[4])
+        is_local = jnp.bool_(False)
+        bg_scale = jnp.float32(1.0)
     mag = jax.random.uniform(kmag, ())
     mag = jnp.where(jax.random.uniform(kstat, ()) < 0.1, 0.0, mag)
+    obj_mag = jnp.where(is_local, jnp.maximum(mag, 0.4), mag)
+    bg_mag = mag * bg_scale
 
     # --- background layer ---
     bg_tex = _any_texture(keys[0], h, w, real_frac)
     bg_lin, bg_trans = _rand_affine(
-        keys[1], h, w, mag * bg_max_shift, mag * 0.05, mag * 0.05
+        keys[1], h, w, bg_mag * bg_max_shift, bg_mag * 0.05, bg_mag * 0.05
     )
 
     img1 = bg_tex
@@ -284,10 +323,26 @@ def generate_pair(
         kt, kp, km = keys[5 + 3 * i : 8 + 3 * i]
         tex = _any_texture(kt, h, w, real_frac)
         lin, trans = _rand_affine(
-            kp, h, w, mag * max_shift, mag * 0.3, mag * 0.15
+            kp, h, w, obj_mag * max_shift, obj_mag * 0.3, obj_mag * 0.15
         )
 
-        pk = jax.random.split(km, 4)
+        if local_motion_frac > 0:
+            pk = jax.random.split(km, 7)
+            # Half the local-regime objects move by PURE TRANSLATION (the
+            # fronto-parallel planar-object serving case: img2's object is
+            # an exactly shifted copy of img1's).
+            pure = is_local & (jax.random.uniform(pk[4], ()) < 0.5)
+            t_pure = jax.random.uniform(
+                pk[5], (2,),
+                minval=-obj_mag * max_shift, maxval=obj_mag * max_shift,
+            )
+            lin = jnp.where(pure, jnp.eye(2, dtype=jnp.float32), lin)
+            trans = jnp.where(pure, t_pure, trans)
+            # Half are hard-edged rectangles instead of ellipses.
+            use_rect = is_local & (jax.random.uniform(pk[6], ()) < 0.5)
+        else:
+            pk = jax.random.split(km, 4)
+            use_rect = jnp.bool_(False)
         center = jax.random.uniform(
             pk[0], (2,),
             minval=jnp.array([0.15 * w, 0.15 * h]),
@@ -302,7 +357,14 @@ def generate_pair(
         # motion-boundary response.
         soft = jax.random.uniform(pk[3], (), minval=0.25, maxval=1.5)
 
-        m1 = _ellipse_mask(xy, center, radii, angle, soft)  # mask in img1
+        def _mask(at):
+            ell = _ellipse_mask(at, center, radii, angle, soft)
+            if local_motion_frac <= 0:
+                return ell
+            rect = _rect_mask(at, center, radii, angle, soft)
+            return jnp.where(use_rect, rect, ell)
+
+        m1 = _mask(xy)  # mask in img1
         obj_flow = _apply_affine(lin, trans, xy) - xy
 
         img1 = m1 * tex + (1.0 - m1) * img1
@@ -312,7 +374,7 @@ def generate_pair(
         # evaluate both at phi^-1(y).
         ilin, itrans = _invert_affine(lin, trans)
         src = _apply_affine(ilin, itrans, xy)
-        m2 = _ellipse_mask(src, center, radii, angle, soft)
+        m2 = _mask(src)
         tex2 = flow_ops.warp(
             tex[None, :, :, None], (src - xy)[None]
         )[0, :, :, 0]
@@ -329,7 +391,8 @@ def generate_pair(
     return img1[..., None], img2[..., None], flow
 
 
-@partial(jax.jit, static_argnames=("h", "w", "n_objects", "real_frac"))
+@partial(jax.jit, static_argnames=(
+    "h", "w", "n_objects", "real_frac", "local_motion_frac"))
 def generate_pair_scale2(
     key,
     h: int,
@@ -338,6 +401,7 @@ def generate_pair_scale2(
     max_shift: float = 24.0,
     bg_max_shift: float = 10.0,
     real_frac: float = 0.0,
+    local_motion_frac: float = 0.0,
 ):
     """One example matching the ``flow_input_scale=2`` SERVING distribution
     (pipeline._flow_forward): generate the scene at (2h, 2w) with doubled
@@ -353,7 +417,7 @@ def generate_pair_scale2(
     curricula compose unchanged with generate_pair."""
     img1, img2, flow = generate_pair(
         key, 2 * h, 2 * w, n_objects, 2.0 * max_shift, 2.0 * bg_max_shift,
-        real_frac,
+        real_frac, local_motion_frac,
     )
     img1 = jax.image.resize(img1[..., 0], (h, w), "bilinear")[..., None]
     img2 = jax.image.resize(img2[..., 0], (h, w), "bilinear")[..., None]
@@ -364,7 +428,8 @@ def generate_pair_scale2(
 @partial(
     jax.jit,
     static_argnames=(
-        "batch", "h", "w", "n_objects", "downsample_frac", "real_frac"
+        "batch", "h", "w", "n_objects", "downsample_frac", "real_frac",
+        "local_motion_frac",
     ),
 )
 def generate_batch(
@@ -377,6 +442,7 @@ def generate_batch(
     bg_max_shift: float = 10.0,
     downsample_frac: float = 0.0,
     real_frac: float = 0.0,
+    local_motion_frac: float = 0.0,
 ):
     """dict(img1, img2, flow) with a leading batch axis, generated on
     device — drop-in for the training loop's batch source. ``max_shift`` /
@@ -392,7 +458,8 @@ def generate_batch(
         parts.append(
             jax.vmap(
                 lambda k: generate_pair(
-                    k, h, w, n_objects, max_shift, bg_max_shift, real_frac
+                    k, h, w, n_objects, max_shift, bg_max_shift, real_frac,
+                    local_motion_frac,
                 )
             )(keys[: batch - n_ds])
         )
@@ -400,7 +467,8 @@ def generate_batch(
         parts.append(
             jax.vmap(
                 lambda k: generate_pair_scale2(
-                    k, h, w, n_objects, max_shift, bg_max_shift, real_frac
+                    k, h, w, n_objects, max_shift, bg_max_shift, real_frac,
+                    local_motion_frac,
                 )
             )(keys[batch - n_ds:])
         )

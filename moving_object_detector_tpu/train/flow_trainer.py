@@ -137,6 +137,7 @@ def make_chunked_train_step(
     bg_max_shift: float = 10.0,
     pool: int = 0,
     downsample_frac: float = 0.0,
+    local_motion_frac: float = 0.0,
     real_frac: float = 0.0,
 ):
     """Jit ``chunk`` train steps into ONE dispatch, with the training data
@@ -175,6 +176,7 @@ def make_chunked_train_step(
         data = generate_batch(
             k, batch, height, width, n_objects, max_shift, bg_max_shift,
             downsample_frac=downsample_frac, real_frac=real_frac,
+            local_motion_frac=local_motion_frac,
         )
         data = jax.lax.with_sharding_constraint(
             data, {n: batch_sh for n in data}

@@ -55,6 +55,13 @@ def build_parser():
                         "serving distribution (generate_pair_scale2): "
                         "scenes rendered at 2x and pushed through the "
                         "flow_input_scale=2 downsample")
+    p.add_argument("--local-motion-frac", type=float, default=0.0,
+                   help="fraction of samples from the LOCAL-MOTION regime "
+                        "(near-static background + guaranteed-moving "
+                        "objects, half hard-edged rectangles under pure "
+                        "translation) — the measured pwc_v5 blind spot: "
+                        "~2 px under-tracking of locally moving objects "
+                        "on real textures (data_synth.generate_pair)")
     p.add_argument("--pool", type=int, default=0,
                    help="fixed scene pool size (0 = fresh data each step);"
                         " bootstrap curriculum for from-scratch training")
@@ -156,6 +163,7 @@ def main(argv=None) -> int:
             chunk, n_objects=args.n_objects, max_shift=args.max_shift,
             bg_max_shift=args.bg_max_shift, pool=args.pool,
             downsample_frac=args.downsample_frac, real_frac=args.real_frac,
+            local_motion_frac=args.local_motion_frac,
         )
         key = jax.random.PRNGKey(args.seed + 1)
         with mesh:

@@ -9,10 +9,12 @@ correction_count_limit / object_radius (MovingObjectTracker.cfg:8-10).
 
 Here the *hot* scalars ride through the jitted pipeline as traced array
 leaves of a Tunables pytree, so retuning any of them between frames never
-triggers a recompile. The two structural ints (neighbor_distance changes
-the connectivity stencil, correction_count_limit is comparable as a traced
-scalar but cluster_size is too) are handled as follows: neighbor_distance
-stays static (stencil shape), everything else is traced.
+triggers a recompile — including ``neighbor_distance``: the clustering
+kernels build their stencil at the static radius ``ClustererConfig.
+neighbor_distance`` (the compile-time maximum) and gate each offset by the
+traced radius, so any runtime value in [0, config radius] applies without
+a recompile (values above the static radius clamp; raising the maximum is
+a config change and recompiles, like any shape change).
 """
 
 from __future__ import annotations
@@ -32,6 +34,7 @@ class Tunables:
     cluster_size: jnp.ndarray  # px (Clusterer.cfg:8)
     depth_diff: jnp.ndarray  # m (Clusterer.cfg:9)
     dynamic_speed: jnp.ndarray  # m/s (Clusterer.cfg:10)
+    neighbor_distance: jnp.ndarray  # px, <= config radius (Clusterer.cfg:11)
     covariance_trace_limit: jnp.ndarray  # (MovingObjectTracker.cfg:8)
     correction_count_limit: jnp.ndarray  # (cfg:9)
     object_radius: jnp.ndarray  # m (cfg:10)
@@ -45,6 +48,9 @@ class Tunables:
             cluster_size=jnp.asarray(config.clusterer.cluster_size, jnp.int32),
             depth_diff=f32(config.clusterer.depth_diff),
             dynamic_speed=f32(config.clusterer.dynamic_speed),
+            neighbor_distance=jnp.asarray(
+                config.clusterer.neighbor_distance, jnp.int32
+            ),
             covariance_trace_limit=f32(config.tracker.covariance_trace_limit),
             correction_count_limit=jnp.asarray(
                 config.tracker.correction_count_limit, jnp.int32
@@ -57,7 +63,10 @@ class Tunables:
         between frames — the jitted step is reused unchanged)."""
         conv = {
             k: jnp.asarray(
-                v, jnp.int32 if k in ("cluster_size", "correction_count_limit")
+                v, jnp.int32 if k in (
+                    "cluster_size", "correction_count_limit",
+                    "neighbor_distance",
+                )
                 else jnp.float32,
             )
             for k, v in kw.items()

@@ -125,3 +125,72 @@ def test_batch_downsample_frac_mixes_families():
     np.testing.assert_allclose(
         np.asarray(b["flow"][3]), np.asarray(fld), atol=1e-4, rtol=1e-4
     )
+
+
+def test_local_motion_regime():
+    """local_motion_frac=1: near-static background with guaranteed-moving
+    objects (the measured pwc_v5 blind spot the v6 curriculum targets),
+    and the img1/img2/flow warp contract still holds."""
+    import jax
+    import jax.numpy as jnp
+
+    from moving_object_detector_tpu.ops import flow_ops
+    from moving_object_detector_tpu.train.data_synth import generate_pair
+
+    h, w = 96, 128
+    bg_small = 0
+    obj_large = 0
+    n = 12
+    for s in range(n):
+        img1, img2, flow = generate_pair(
+            jax.random.PRNGKey(s), h, w, n_objects=2,
+            max_shift=24.0, bg_max_shift=10.0, local_motion_frac=1.0,
+        )
+        fl = np.asarray(flow)
+        mag = np.linalg.norm(fl, axis=-1)
+        # Background = pixels at the border rows (objects are centered in
+        # [0.15, 0.85] of the frame and have radius <= 0.22*min_dim, so a
+        # 4-px border band is object-free).
+        border = np.concatenate(
+            [mag[:2].ravel(), mag[-2:].ravel()]
+        )
+        if np.median(border) < 1.0:
+            bg_small += 1
+        if mag.max() > 5.0:
+            obj_large += 1
+        # Warp contract: img1(x) ~ img2(x + flow(x)) away from occlusions,
+        # modulo the generator's global photometric jitter (gain/bias on
+        # img2) — remove the best global gain/bias before comparing.
+        warped = np.asarray(
+            flow_ops.warp(jnp.asarray(img2)[None], jnp.asarray(fl)[None])
+        )[0][..., 0]
+        i1 = np.asarray(img1)[..., 0]
+        a = np.stack([warped.ravel(), np.ones(warped.size)], axis=1)
+        coef, *_ = np.linalg.lstsq(a, i1.ravel(), rcond=None)
+        err = np.abs(coef[0] * warped + coef[1] - i1)
+        # 30th percentile, not median: guaranteed-moving objects over a
+        # near-static background sweep object-SIZED occlusion regions
+        # (where the contract legitimately fails), which can cover >40%
+        # of a small frame.
+        assert np.quantile(err, 0.3) < 0.05, (
+            s, float(np.quantile(err, 0.3))
+        )
+    # The regime holds for the large majority of samples (the 10% global
+    # static floor still produces some all-static scenes).
+    assert bg_small >= n * 2 // 3, bg_small
+    assert obj_large >= n // 2, obj_large
+
+
+def test_local_motion_frac_zero_is_identity():
+    """frac=0 must reproduce the historical sample stream bit-for-bit
+    (running v5 recipes unchanged)."""
+    import jax
+
+    from moving_object_detector_tpu.train.data_synth import generate_pair
+
+    key = jax.random.PRNGKey(3)
+    a = generate_pair(key, 64, 96, n_objects=3, real_frac=0.0)
+    b = generate_pair(key, 64, 96, n_objects=3, real_frac=0.0,
+                      local_motion_frac=0.0)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -823,3 +823,72 @@ def test_socket_stereo_sequence_rejects_garbage():
         list(readers.SocketStereoSequence("127.0.0.1", port,
                                           idle_timeout=5.0))
     th.join()
+
+
+def test_live_dashboard_serves_products():
+    """run.py --serve-port analog: the embedded HTTP dashboard serves the
+    page, then status + product PNGs rendered from real pipeline output
+    (the rqt/rviz live-view parity item)."""
+    import json
+    import time
+    import urllib.request
+
+    import jax.numpy as jnp
+
+    from moving_object_detector_tpu.config import (
+        EgoMotionConfig, FlowNetConfig, PipelineConfig, SGMConfig,
+    )
+    from moving_object_detector_tpu.io.dashboard import LiveDashboard
+    from moving_object_detector_tpu.io.readers import SyntheticStereoSequence
+    from moving_object_detector_tpu.io.runner import PipelineRunner
+    from moving_object_detector_tpu.types import StereoModel
+
+    h, w = 32, 64
+    config = PipelineConfig(
+        height=h, width=w,
+        flownet=FlowNetConfig(feature_channels=(8, 16, 32), search_range=2,
+                              use_context_net=False, dtype="float32"),
+        sgm=SGMConfig(max_disparity=16),
+        egomotion=EgoMotionConfig(max_features=32, nms_radius=2,
+                                  ransac_hypotheses=8, lk_pyramid_levels=1,
+                                  min_inliers=4),
+    )
+    stereo = StereoModel.create(fx=50.0, fy=50.0, cx=w / 2, cy=h / 2,
+                                baseline=0.5)
+    dash = LiveDashboard(0, host="127.0.0.1")
+    try:
+        base = f"http://127.0.0.1:{dash.port}"
+        page = urllib.request.urlopen(base + "/", timeout=5).read()
+        assert b"moving_object_detector_tpu" in page
+        # Page load marks every product wanted (demand-gated rendering).
+        for name in LiveDashboard.PRODUCTS:
+            try:
+                urllib.request.urlopen(
+                    base + f"/view/{name}.png", timeout=5
+                )
+            except urllib.error.HTTPError as e:
+                assert e.code == 404  # nothing rendered yet
+
+        from moving_object_detector_tpu.models.pwc_net import (
+            PWCNet, init_pwc_params,
+        )
+
+        model = PWCNet(config=config.flownet)
+        params = init_pwc_params(model, h, w)
+        runner = PipelineRunner(config, stereo, params, model,
+                                dashboard=dash)
+        seq = SyntheticStereoSequence(height=h, width=w, fx=50.0,
+                                      n_frames=3)
+        runner.run(seq, max_frames=3)
+
+        status = json.loads(
+            urllib.request.urlopen(base + "/status.json", timeout=5).read()
+        )
+        assert status["frame"] == 2
+        for name in LiveDashboard.PRODUCTS:
+            png = urllib.request.urlopen(
+                base + f"/view/{name}.png", timeout=5
+            ).read()
+            assert png.startswith(b"\x89PNG"), name
+    finally:
+        dash.close()

@@ -477,3 +477,39 @@ def test_end_to_end_sgm_input_scale():
         center = np.asarray(out.detections.center)[i]
         assert abs(vel[0] - V_TRUE) < 0.6, f"frame {k} vx {vel[0]}"
         assert abs(center[2] - Z_OBJ) < 0.6, f"frame {k} z {center[2]}"
+
+
+def test_end_to_end_gnn_association():
+    """detect_step with tracker association="gnn" (the reference's
+    available-but-unwired Munkres mode,
+    global_nearest_neighbor_association.hpp): same scene as the greedy-NN
+    end-to-end test, must produce an equivalent confirmed track."""
+    config = dataclasses.replace(
+        CONFIG,
+        tracker=dataclasses.replace(CONFIG.tracker, association="gnn"),
+    )
+    rng = np.random.default_rng(5)
+    bg = blocky(rng, H, W)
+    obj_tex = noisy(rng, OBJ_H, OBJ_W)
+    state = PipelineState.create(config)
+    outputs = []
+    for k in range(7):
+        obj_x = 30 + SHIFT * k
+        left, right = make_frame(bg, obj_tex, obj_x)
+        flow = true_flow(obj_x, first=(k == 0))
+        state, out = detect_step(
+            None, state,
+            jnp.asarray(left), jnp.asarray(right), jnp.float32(k * DT),
+            STEREO, config, flow_override=jnp.asarray(flow),
+        )
+        outputs.append(out)
+    # The single moving object is detected and, after
+    # correction_count_limit corrections, published as a track with the
+    # right velocity — exactly as in the greedy-NN mode.
+    last = outputs[-1]
+    assert np.asarray(last.detections.valid).sum() == 1
+    tr_valid = np.asarray(last.tracked.objects.valid)
+    assert tr_valid.sum() == 1
+    v = np.asarray(last.tracked.objects.velocity)[tr_valid.argmax()]
+    np.testing.assert_allclose(v[0], V_TRUE, atol=0.5)
+    np.testing.assert_allclose(v[1:], 0.0, atol=0.3)

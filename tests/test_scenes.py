@@ -1,0 +1,147 @@
+"""PlanarSceneSequence renderer self-consistency: the analytic ground
+truth must obey the geometry it claims (rectified stereo, motion-field
+flow, SE(3) ego-motion), because the real-sequence evaluation gates
+(test_real_sequence.py) score the pipeline against it."""
+
+import numpy as np
+
+from moving_object_detector_tpu.io.scenes import (
+    PlaneObject,
+    PlanarSceneSequence,
+    validation_scenes,
+)
+
+
+def test_disparity_and_flow_static_camera():
+    fx, b = 300.0, 0.54
+    z_obj, z_bg = 6.0, 13.5
+    seq = PlanarSceneSequence(
+        96, 224, fx=fx, baseline=b, bg_depth=z_bg,
+        objects=[PlaneObject(
+            center0=(0.0, 0.0, z_obj), size=(1.2, 0.8),
+            velocity=(1.5, 0.0, 0.0),
+            texture=np.random.default_rng(0).random((64, 96)),
+        )],
+        n_frames=3,
+    )
+    left, right, t, truth = seq.frame(1)
+    d = truth["disparity"]
+    pid = truth["plane_id"]
+    np.testing.assert_allclose(d[pid == -1], fx * b / z_bg, rtol=1e-5)
+    np.testing.assert_allclose(d[pid == 0], fx * b / z_obj, rtol=1e-5)
+    # Flow: zero on background (static camera), fx*vx*dt/z on the object.
+    fl = truth["flow"]
+    np.testing.assert_allclose(fl[pid == -1], 0.0, atol=1e-4)
+    expected = fx * 1.5 * (1.0 / seq.fps) / z_obj
+    obj_flow = fl[pid == 0]
+    # Interior pixels (revealed-background pixels at the trailing edge
+    # belong to bg, so every pid==0 pixel has the object's flow).
+    np.testing.assert_allclose(obj_flow[:, 0], expected, atol=1e-3)
+    np.testing.assert_allclose(obj_flow[:, 1], 0.0, atol=1e-3)
+
+
+def test_rectified_stereo_photometric_consistency():
+    """right(x) == left(x + d) for an integer-disparity background."""
+    fx, b, z = 300.0, 0.54, 13.5  # d = 300*0.54/13.5 = 12 exactly
+    seq = PlanarSceneSequence(64, 160, fx=fx, baseline=b, bg_depth=z,
+                              n_frames=1)
+    left, right, _, truth = seq.frame(0)
+    d = int(round(fx * b / z))
+    assert abs(fx * b / z - d) < 1e-9
+    np.testing.assert_allclose(right[:, : -d], left[:, d:], atol=1e-5)
+
+
+def test_gt_motion_se3_consistency():
+    """P_now = T_prev2now @ P_prev for a static world point, under
+    combined camera translation + yaw."""
+    seq = PlanarSceneSequence(
+        32, 64, cam_velocity=(0.8, -0.1, 0.4),
+        yaw_rate=np.deg2rad(3.0), n_frames=4,
+    )
+    x_w = np.array([1.3, -0.4, 9.0])
+    for k in (1, 2, 3):
+        r_prev, p_prev = seq.camera_pose(k - 1)
+        r_now, p_now = seq.camera_pose(k)
+        p_cam_prev = r_prev.T @ (x_w - p_prev)
+        p_cam_now = r_now.T @ (x_w - p_now)
+        tm = seq.gt_motion(k).astype(np.float64)
+        np.testing.assert_allclose(
+            tm[:3, :3] @ p_cam_prev + tm[:3, 3], p_cam_now, atol=1e-6
+        )
+
+
+def test_translating_camera_background_flow():
+    """Pure lateral camera motion: bg flow is uniform -fx*vx*dt/z."""
+    fx, z = 300.0, 12.0
+    vx = 0.9
+    seq = PlanarSceneSequence(
+        48, 96, fx=fx, bg_depth=z, cam_velocity=(vx, 0.0, 0.0), n_frames=3
+    )
+    _, _, _, truth = seq.frame(2)
+    expected = -fx * vx * (1.0 / seq.fps) / z
+    np.testing.assert_allclose(truth["flow"][..., 0], expected, atol=1e-4)
+    np.testing.assert_allclose(truth["flow"][..., 1], 0.0, atol=1e-4)
+    # Camera moves +x, so the prev projection u + fx*vx*dt/z runs off the
+    # right edge there: all pixels visible except a right-edge band.
+    vis = truth["prev_visible"]
+    assert vis[:, :-8].all()
+    assert not vis[:, -1].any()
+
+
+def test_occlusion_scene_masks_and_depth_order():
+    seq = validation_scenes()["occlusion"]  # default 192x448
+    counts = []
+    overlaps = []
+    for k in range(seq.n_frames):
+        _, _, _, truth = seq.frame(k)
+        o0, o1 = truth["objects"]
+        counts.append(o1["visible_px"])
+        y0, x0, hh0, ww0 = o0["px_box"]
+        y1, x1, hh1, ww1 = o1["px_box"]
+        overlaps.append(
+            x0 < x1 + ww1 and x1 < x0 + ww0
+            and y0 < y1 + hh1 and y1 < y0 + hh0
+        )
+    # Separated at the start, crossing later.
+    assert not overlaps[0]
+    assert any(overlaps)
+    # During the deepest crossing the farther object (index 1) loses a
+    # substantial fraction of its pixels to the nearer one.
+    assert min(counts) < 0.8 * counts[0]
+    # Occluded-at-prev / newly-revealed pixels are flagged invisible once
+    # the crossing begins.
+    vis_frac = [
+        seq.frame(k)[3]["prev_visible"].mean()
+        for k in range(1, seq.n_frames)
+    ]
+    assert min(vis_frac) < 1.0
+
+
+def test_approach_scene_velocity_sign():
+    scenes = validation_scenes(h=96, w=224)
+    truth = scenes["approach"].frame(1)[3]
+    v = truth["objects"][0]["velocity_cam"]
+    assert v[2] < -2.0  # toward the camera
+    # Approaching object's disparity grows over time.
+    d0 = scenes["approach"].frame(0)[3]
+    d5 = scenes["approach"].frame(5)[3]
+    m0, m5 = d0["plane_id"] == 0, d5["plane_id"] == 0
+    assert d5["disparity"][m5].mean() > d0["disparity"][m0].mean()
+
+
+def test_rotating_camera_flow_matches_homography():
+    """Yaw-only camera rotation: flow of ANY static point depends only on
+    the rotation (depth-independent homography). Check against the
+    analytic yaw flow for the principal ray."""
+    fx = 300.0
+    yaw_rate = np.deg2rad(2.0)
+    seq = PlanarSceneSequence(
+        64, 128, fx=fx, bg_depth=10.0, yaw_rate=yaw_rate, n_frames=3
+    )
+    truth = seq.frame(1)[3]
+    dtheta = yaw_rate / seq.fps
+    # Positive yaw turns the camera toward +x, so static content shifts
+    # -x: at the principal point flow_x = -fx*tan(yaw step).
+    expected_u = -fx * np.tan(dtheta)
+    got = truth["flow"][32, 64, 0]
+    np.testing.assert_allclose(got, expected_u, rtol=1e-3)

@@ -281,3 +281,66 @@ def test_sgm_input_scale_odd_resolution(rng):
     np.testing.assert_array_equal(disp[h - 2], disp[h - 3])
     np.testing.assert_array_equal(disp[:, w - 1], disp[:, w - 2])
     np.testing.assert_array_equal(disp[:, w - 2], disp[:, w - 3])
+
+
+def test_uniqueness_semantics_on_crafted_volume():
+    """Direct WTA-level check of the libSGM-lineage uniqueness rule
+    (min over |d - best| > 1 of total(d), times ratio, must be >= best):
+    an ambiguous far-away near-tie invalidates; adjacent near-ties
+    (subpixel support) and clear winners do not."""
+    h, w, d = 1, 16, 16
+    total = np.full((h, w, d), 100.0, np.float32)
+    # Columns >= 8 so the x >= d edge-support gate never fires (d=5).
+    # Pixel 8: clear winner at d=5 (cost 50), everything else 100.
+    total[0, 8, 5] = 50.0
+    # Pixel 9: winner d=5 (50), near-tie at d=9 (51): 51*0.95 < 50.
+    total[0, 9, 5] = 50.0
+    total[0, 9, 9] = 51.0
+    # Pixel 10: winner d=5 (50), near-tie only at the ADJACENT d=6 (51):
+    # excluded from the test, stays valid.
+    total[0, 10, 5] = 50.0
+    total[0, 10, 6] = 51.0
+    cfg = dataclasses.replace(
+        CFG, max_disparity=d, lr_check=False, subpixel=False,
+        uniqueness_ratio=0.95,
+    )
+    disp = np.asarray(sgm.wta_disparity(jnp.asarray(total), cfg))
+    assert disp[0, 8] == 5.0
+    assert disp[0, 9] == -1.0
+    assert disp[0, 10] == 5.0
+    # Disabled (0.0): all three valid.
+    cfg_off = dataclasses.replace(cfg, uniqueness_ratio=0.0)
+    disp_off = np.asarray(sgm.wta_disparity(jnp.asarray(total), cfg_off))
+    np.testing.assert_array_equal(disp_off[0, 8:11], [5.0, 5.0, 5.0])
+
+
+def test_uniqueness_pallas_v2_parity(rng):
+    """uniqueness_ratio in the fused Pallas WTA is bitwise-equal to the XLA
+    oracle (interpret mode)."""
+    h, w, d_true = 24, 160, 5
+    left = textured_image(h, w, rng)
+    # Half the image periodic so both code paths exercise invalidation.
+    xs = np.arange(w)
+    left[: h // 2] = ((xs // 4) % 2).astype(np.float32)[None, :]
+    right = shift_right_image(left, d_true)
+    cfg = SGMConfig(
+        max_disparity=128, uniqueness_ratio=0.95, backend="xla"
+    )
+    ref = np.asarray(
+        sgm.sgm_disparity_raw(jnp.asarray(left), jnp.asarray(right), cfg)
+    )
+    cfg_pl = dataclasses.replace(cfg, backend="pallas_interpret")
+    out = np.asarray(
+        sgm.sgm_disparity_raw(jnp.asarray(left), jnp.asarray(right), cfg_pl)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_uniqueness_v1_backend_raises():
+    cfg = SGMConfig(uniqueness_ratio=0.95, backend="pallas_v1_interpret")
+    left = jnp.zeros((16, 32))
+    try:
+        sgm.sgm_disparity_raw(left, left, cfg)
+        assert False, "expected ValueError"
+    except ValueError as e:
+        assert "uniqueness" in str(e)

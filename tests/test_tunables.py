@@ -124,3 +124,67 @@ def test_runner_reconfigure_file(tmp_path):
     os.utime(path, (time.time() + 2, time.time() + 2))
     assert runner._maybe_reload_tunables()
     assert abs(float(runner.tunables.dynamic_flow_diff) - 2.5) < 1e-6
+
+
+def test_neighbor_distance_gated_stencil_parity():
+    """A traced radius under a larger static stencil must reproduce the
+    static radius-k edge set exactly (Chebyshev gating,
+    ops/clustering.py), for both CC backends."""
+    from moving_object_detector_tpu.ops.clustering import (
+        connected_components,
+    )
+    from moving_object_detector_tpu.ops.clustering_pallas import (
+        connected_components_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    dyn = jnp.asarray(rng.random((24, 40)) < 0.25)
+    depth = jnp.asarray(rng.uniform(1.0, 1.05, (24, 40)).astype(np.float32))
+    dd = jnp.float32(0.2)
+
+    for k in (0, 1, 2, 4):
+        ref = connected_components(dyn, depth, dd, neighbor_distance=k)
+        gated = connected_components(
+            dyn, depth, dd,
+            neighbor_distance=jnp.int32(k), stencil_radius=4,
+        )
+        np.testing.assert_array_equal(np.asarray(gated), np.asarray(ref))
+        gated_pl = connected_components_pallas(
+            dyn, depth, dd,
+            neighbor_distance=jnp.int32(k), stencil_radius=4,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(gated_pl), np.asarray(ref))
+    # Values above the static radius clamp to it.
+    over = connected_components(
+        dyn, depth, dd, neighbor_distance=jnp.int32(9), stencil_radius=4
+    )
+    ref4 = connected_components(dyn, depth, dd, neighbor_distance=4)
+    np.testing.assert_array_equal(np.asarray(over), np.asarray(ref4))
+
+
+def test_neighbor_distance_retune_no_recompile():
+    """Retuning neighbor_distance between calls changes connectivity
+    without growing the jit cache (the last dynamic_reconfigure knob,
+    Clusterer.cfg:11)."""
+    import tests.test_clusterer as tc
+    from moving_object_detector_tpu.clusterer import cluster_scene_flow
+    from moving_object_detector_tpu.types import SceneFlowCloud
+
+    # Two 6x4 blobs separated by a 3-px horizontal gap: radius 4 bridges
+    # the gap (one cluster), radius 2 does not (two clusters).
+    pts, vel = tc.make_cloud()
+    tc.fill_block(pts, vel, 4, 10, 5, 9, z=2.0, v=[1.0, 0.0, 0.0])
+    tc.fill_block(pts, vel, 4, 10, 12, 16, z=2.0, v=[1.0, 0.0, 0.0])
+    cloud = SceneFlowCloud(points=jnp.asarray(pts), velocity=jnp.asarray(vel))
+
+    merged, _ = cluster_scene_flow(
+        cloud, tc.CFG, neighbor_distance=jnp.int32(4)
+    )
+    assert np.asarray(merged.valid).sum() == 1
+    n_compiles = cluster_scene_flow._cache_size()
+    split, _ = cluster_scene_flow(
+        cloud, tc.CFG, neighbor_distance=jnp.int32(2)
+    )
+    assert np.asarray(split.valid).sum() == 2
+    assert cluster_scene_flow._cache_size() == n_compiles
