@@ -125,7 +125,14 @@ class SGMConfig:
     # ceiling (ops/sgm_pallas2.py). sgm_disparity_raw raises on oversize
     # windows rather than silently clamping.
     census_window: Tuple[int, int] = (5, 5)
-    num_paths: int = 4  # horizontal fwd/bwd + vertical fwd/bwd
+    # 4 = horizontal fwd/bwd + vertical fwd/bwd (Pallas v2 serving
+    # kernels); 8 adds the diagonals (XLA backend only). The 4-path
+    # default is MEASURED, not just faster: on the real-texture planar
+    # scenes (io/scenes.py, 2026-08-20) 8-path scored WORSE — D1 1.81%
+    # vs 1.32%, |err| 0.457 vs 0.397 px at equal density — because
+    # diagonal aggregation smears depth edges of fronto-parallel
+    # structure without adding support the h/v paths lack.
+    num_paths: int = 4
     lr_check: bool = True
     lr_max_diff: float = 1.0
     subpixel: bool = True

@@ -182,6 +182,11 @@ class LiveDashboard:
         self._thread.start()
 
     def _wanted(self, name: str) -> bool:
+        # Never-rendered products are always rendered (the first frame can
+        # arrive minutes after the page load — jit compile — long after
+        # the demand window expired); afterwards, only on recent demand.
+        if name not in self._pngs:
+            return True
         return time.time() - self._demand[name] < self.demand_window
 
     def update(self, index: int, t: float, out, left, config, stereo):

@@ -242,3 +242,47 @@ def test_end_to_end_real_texture_detection(flow_net):
     scored = n_frames - 1
     assert phantoms == 0, f"{phantoms} phantom detections on real texture"
     assert hits >= 0.6 * scored, f"object detected {hits}/{scored} frames"
+
+
+# Weight versions trained with the local-motion regime
+# (train/data_synth.py local_motion_frac > 0, scripts/train_flow_v6.sh).
+# pwc_v5 measured 2026-08-20 (paste probes): net 8.1 px on a 10 px pasted
+# rectangle, 3.9 on 6, 14.0 on 16 — a ~2 px systematic under-tracking of
+# locally-moving objects that halves end-to-end velocity estimates.
+_LOCAL_MOTION_TRAINED = frozenset({"pwc_v6.fp16.npz"})
+
+
+def test_flow_local_object_motion(flow_net):
+    """A 100x64 px real-texture rectangle pasted onto a real-photo
+    background and shifted by a known amount must be tracked to < 1.5 px
+    mean error at shifts 6/10/16 — the LOCAL-motion analog of the global
+    known-shift tests above, and the measured pwc_v5 blind spot."""
+    from moving_object_detector_tpu.pipeline import _flow_forward
+    from moving_object_detector_tpu.utils.checkpoint import (
+        default_flow_checkpoint,
+    )
+
+    ckpt = default_flow_checkpoint()
+    if os.path.basename(ckpt or "") not in _LOCAL_MOTION_TRAINED:
+        pytest.xfail(
+            "bundled weights predate local-motion training (measured ~2 px "
+            "object under-tracking — see _LOCAL_MOTION_TRAINED note)"
+        )
+    params, model = flow_net
+    texs = _textures()
+    bg = _crop(texs["heldout_camera"])
+    obj = _crop(texs["heldout_blade"], 64, 100)
+    y0, x0 = 60, 150
+    for shift in (6, 10, 16):
+        i1 = bg.copy()
+        i1[y0:y0 + 64, x0:x0 + 100] = obj
+        i2 = bg.copy()
+        i2[y0:y0 + 64, x0 + shift:x0 + shift + 100] = obj
+        fl = np.asarray(
+            _flow_forward(params, model, jnp.asarray(i1), jnp.asarray(i2))
+        )
+        m = np.zeros(bg.shape, bool)
+        m[y0 + 4:y0 + 60, x0 + shift + 4:x0 + 96] = True
+        err = np.abs(fl[m][:, 0] - shift).mean()
+        assert err < 1.5, f"shift {shift}: mean |u err| {err:.2f} px"
+        assert np.abs(fl[m][:, 1]).mean() < 1.0
