@@ -82,6 +82,11 @@ def main(argv=None):
                          "every real stage a data dependency: detections "
                          "require clustering require scene flow require "
                          "disparity+flow+ego-motion.")
+    ap.add_argument("--cc-crop", type=int, nargs=2, default=None,
+                    metavar=("H", "W"),
+                    help="override the clusterer dynamic-extent crop "
+                         "window (ClustererConfig.cc_crop_h/w; 0 0 "
+                         "disables). Default: the config default.")
     args = ap.parse_args(argv)
     if args.sgm_input_scale < 0:
         ap.error(f"--sgm-input-scale must be 0 (auto) or >= 1, "
@@ -123,6 +128,17 @@ def main(argv=None):
     config = PipelineConfig(height=h, width=w,
                             flow_input_scale=args.flow_input_scale,
                             sgm_input_scale=args.sgm_input_scale)
+    if args.cc_crop is not None:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config,
+            clusterer=dataclasses.replace(
+                config.clusterer,
+                cc_crop_h=args.cc_crop[0],
+                cc_crop_w=args.cc_crop[1],
+            ),
+        )
     stereo = StereoModel.create(
         fx=721.5, fy=721.5, cx=w / 2.0, cy=h / 2.0, baseline=0.54
     )

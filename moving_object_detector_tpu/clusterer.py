@@ -93,16 +93,67 @@ def cluster_scene_flow(
         )
         return objects, jnp.full((h, w), -1, jnp.int32)
 
+    kwargs = dict(
+        config=config,
+        dynamic_speed=dynamic_speed,
+        depth_diff=depth_diff,
+        cluster_size=cluster_size,
+        neighbor_distance=neighbor_distance,
+    )
+    # Dynamic-extent crop fast path (see ClustererConfig.cc_crop_h): run
+    # the busy stage on a fixed-size window when all dynamic pixels fit.
+    ch = min(config.cc_crop_h, h) if config.cc_crop_h > 0 else 0
+    cw = min(config.cc_crop_w, w) if config.cc_crop_w > 0 else 0
+    crop_on = ch > 0 and cw > 0 and (ch < h or cw < w)
+
+    def _busy_branch(cloud, vel, vnorm, dynamic):
+        if not crop_on:
+            return _cluster_dynamic(cloud, vel, vnorm, dynamic, **kwargs)
+        # Bounding box of the (non-empty, guaranteed by the outer cond)
+        # dynamic set. No margin is needed: a window edge requires BOTH
+        # endpoints dynamic (comparePoints, clusterer_nodelet.cpp:186-219),
+        # so every edge lies inside the bbox.
+        rows_any = jnp.any(dynamic, axis=1)
+        cols_any = jnp.any(dynamic, axis=0)
+        ri = jnp.arange(h, dtype=jnp.int32)
+        ci = jnp.arange(w, dtype=jnp.int32)
+        r0 = jnp.min(jnp.where(rows_any, ri, h))
+        r1 = jnp.max(jnp.where(rows_any, ri, -1))
+        c0 = jnp.min(jnp.where(cols_any, ci, w))
+        c1 = jnp.max(jnp.where(cols_any, ci, -1))
+        fits = (r1 - r0 < ch) & (c1 - c0 < cw)
+        r0c = jnp.clip(r0, 0, h - ch)
+        c0c = jnp.clip(c0, 0, w - cw)
+
+        def _crop_branch(cloud, vel, vnorm, dynamic):
+            pts_c = jax.lax.dynamic_slice(
+                cloud.points, (r0c, c0c, jnp.int32(0)), (ch, cw, 3)
+            )
+            vel_c = jax.lax.dynamic_slice(
+                vel, (r0c, c0c, jnp.int32(0)), (ch, cw, 3)
+            )
+            vnorm_c = jax.lax.dynamic_slice(vnorm, (r0c, c0c), (ch, cw))
+            dyn_c = jax.lax.dynamic_slice(dynamic, (r0c, c0c), (ch, cw))
+            objects, label_c = _cluster_dynamic(
+                SceneFlowCloud(points=pts_c, velocity=vel_c),
+                vel_c, vnorm_c, dyn_c,
+                min_size_cap=h * w, **kwargs,
+            )
+            # Objects are world-space (crop-invariant); only the compact
+            # label image needs scattering back into the frame.
+            label_image = jax.lax.dynamic_update_slice(
+                jnp.full((h, w), -1, jnp.int32), label_c, (r0c, c0c)
+            )
+            return objects, label_image
+
+        return jax.lax.cond(
+            fits, _crop_branch, partial(_cluster_dynamic, **kwargs),
+            cloud, vel, vnorm, dynamic,
+        )
+
     return jax.lax.cond(
         jnp.any(dynamic),
-        partial(
-            _cluster_dynamic,
-            config=config,
-            dynamic_speed=dynamic_speed,
-            depth_diff=depth_diff,
-            cluster_size=cluster_size,
-            neighbor_distance=neighbor_distance,
-        ),
+        _busy_branch,
         _empty_branch,
         cloud,
         vel,
@@ -122,10 +173,18 @@ def _cluster_dynamic(
     depth_diff,
     cluster_size,
     neighbor_distance,
+    min_size_cap=None,
 ):
     h, w = cloud.points.shape[:2]
     n = h * w
     cap = config.max_objects
+    # When clustering a crop of a larger frame, cluster_size must still be
+    # honored at its full-frame value: a cluster_size above the crop area
+    # must reject everything (the dynamic_slice of s_pad below clamps its
+    # start to n, making `tail` all-sentinel, so no run passes — exactly
+    # the required behavior).
+    if min_size_cap is None:
+        min_size_cap = n
 
     depth = cloud.points[..., 2]
     from .ops import resolve_auto_backend
@@ -164,7 +223,7 @@ def _cluster_dynamic(
     # produces (clusterer_nodelet.cpp:354-393). Like the reference, a lone
     # dynamic pixel still forms a (size-1) component; min_size >= 2 removes
     # singletons for exact parity.
-    min_size = jnp.clip(cluster_size, 2, n)
+    min_size = jnp.clip(cluster_size, 2, min_size_cap)
     pos = jnp.arange(n, dtype=jnp.int32)
     # Lexicographic sort (label asc, ||v|| desc, pixel index): one sort
     # serves both root selection AND the median — each cluster's members

@@ -81,6 +81,20 @@ class ClustererConfig:
     # oracle, 5.3x faster on busy frames), "xla" = scan/sweep form,
     # "auto" = pallas on accelerators.
     cc_backend: str = "auto"
+    # Dynamic-extent crop fast path (0 = off): when every dynamic pixel
+    # fits in a (cc_crop_h, cc_crop_w) window, the WHOLE busy clustering
+    # stage (CC fixpoint, lexicographic sort, stats) runs on that window
+    # instead of the full frame. Exact by construction: window edges need
+    # both endpoints dynamic, so clustering restricted to any window
+    # containing all dynamic pixels yields the identical partition, and
+    # raster order (hence root choice and cluster ordering) is preserved
+    # under cropping. Frames whose dynamic extent exceeds the window take
+    # the full-frame path via lax.cond. This scales busy-frame cost with
+    # CONTENT extent, like the reference's per-cluster loops
+    # (clusterer_nodelet.cpp:56-83) whose work scales with dynamic-pixel
+    # count.
+    cc_crop_h: int = 0
+    cc_crop_w: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -513,3 +513,49 @@ def test_end_to_end_gnn_association():
     v = np.asarray(last.tracked.objects.velocity)[tr_valid.argmax()]
     np.testing.assert_allclose(v[0], V_TRUE, atol=0.5)
     np.testing.assert_allclose(v[1:], 0.0, atol=0.3)
+
+
+def test_end_to_end_cc_crop_parity():
+    """The clusterer dynamic-extent crop fast path
+    (ClustererConfig.cc_crop_h/w) inside the FULL fused frame program:
+    bitwise-identical detections, tracks and label image vs the
+    full-frame path on the oracle moving-block scene."""
+    import dataclasses as _dc
+
+    import jax
+
+    cfg_crop = _dc.replace(
+        CONFIG,
+        clusterer=_dc.replace(CONFIG.clusterer, cc_crop_h=40, cc_crop_w=64),
+    )
+    rng = np.random.default_rng(5)
+    bg = blocky(rng, H, W)
+    obj_tex = noisy(rng, OBJ_H, OBJ_W)
+    x0 = 30
+    for config in (CONFIG, cfg_crop):
+        state = PipelineState.create(config)
+        outs = []
+        for k in range(4):
+            obj_x = x0 + SHIFT * k
+            left, right = make_frame(bg, obj_tex, obj_x)
+            flow = true_flow(obj_x, first=(k == 0))
+            state, out = detect_step(
+                None, state, jnp.asarray(left), jnp.asarray(right),
+                jnp.float32(k * DT), STEREO, config,
+                flow_override=jnp.asarray(flow),
+            )
+            outs.append(out)
+        if config is CONFIG:
+            ref_outs = outs
+    for k in range(4):
+        a, b = ref_outs[k], outs[k]
+        assert bool(np.asarray(a.detections.valid).sum()) == (k >= 1)
+        for x, y in zip(
+            jax.tree_util.tree_leaves(
+                (a.detections, a.tracked, a.label_image)
+            ),
+            jax.tree_util.tree_leaves(
+                (b.detections, b.tracked, b.label_image)
+            ),
+        ):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
