@@ -306,10 +306,11 @@ def evaluate_planar_sequence(
         centers = np.asarray(out.detections.center)
         vels = np.asarray(out.detections.velocity)
         min_px = min_visible_frac * config.clusterer.cluster_size
-        scoreable = [
-            o for o in truth["objects"]
+        scoreable_idx = [
+            j for j, o in enumerate(truth["objects"])
             if o["px_box"] is not None and o["visible_px"] >= min_px
         ]
+        scoreable = [truth["objects"][j] for j in scoreable_idx]
         matched = [False] * len(scoreable)
         for i in np.flatnonzero(valid):
             cz = centers[i, 2]
@@ -344,10 +345,11 @@ def evaluate_planar_sequence(
             detail_frames.append({
                 "k": k,
                 "scoreable": [
-                    {"px_box": o["px_box"], "visible_px": o["visible_px"],
+                    {"obj_index": scoreable_idx[jj],
+                     "px_box": o["px_box"], "visible_px": o["visible_px"],
                      "vel_cam": o["velocity_cam"].tolist(),
                      "center_cam": o["center_cam"].tolist()}
-                    for o in scoreable
+                    for jj, o in enumerate(scoreable)
                 ],
                 "matched": list(matched),
                 "detections": [

@@ -37,6 +37,7 @@ Pure NumPy on the host (fixture generation / scoring, not a hot path).
 from __future__ import annotations
 
 import dataclasses
+import zlib
 
 import numpy as np
 
@@ -391,7 +392,11 @@ def validation_scenes(h=192, w=448, fx=300.0, textures=None, fps=10.0):
     def pick(name, th, tw):
         if name in tex:
             return tex[name]
-        return _procedural_texture(np.random.default_rng(hash(name) % 2**31),
+        # zlib.crc32, not hash(): str hash is per-process randomized
+        # (PYTHONHASHSEED), which would make the "canned" scenes differ
+        # between runs.
+        return _procedural_texture(
+            np.random.default_rng(zlib.crc32(name.encode()) % 2**31),
                                    th, tw, cell=3)
 
     # Pixel-to-world sizing: an object meant to span ~opx pixels at depth z
