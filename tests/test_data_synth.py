@@ -194,3 +194,49 @@ def test_local_motion_frac_zero_is_identity():
                       local_motion_frac=0.0)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_motion_contrast_weights():
+    """Loss weights for independently-moving pixels: mean exactly 1 per
+    image (loss scale preserved), background ~1/(mean raw), saturated
+    moving pixels (1+s)x the background weight."""
+    from moving_object_detector_tpu.train.flow_trainer import (
+        motion_contrast_weights,
+    )
+
+    gt = jnp.zeros((2, 32, 48, 2))
+    # Image 0: static background + an 8x12 object moving 10 px.
+    gt = gt.at[0, 8:16, 10:22, 0].set(10.0)
+    # Image 1: uniform global motion (no independent movers).
+    gt = gt.at[1, :, :, 0].set(7.0)
+    w = np.asarray(motion_contrast_weights(gt, strength=4.0))
+    assert np.allclose(w.mean(axis=(1, 2)), 1.0, atol=1e-5)
+    # Object pixels saturate (dev 10 px > sat 4): raw 5 vs background 1.
+    obj = w[0, 8:16, 10:22]
+    bg = w[0, 0, 0]
+    assert np.allclose(obj / bg, 5.0, rtol=1e-3)
+    # Pure global motion: median == flow everywhere -> uniform weights.
+    assert np.allclose(w[1], 1.0, atol=1e-5)
+
+
+def test_flow_loss_motion_contrast_zero_is_uniform():
+    """motion_contrast=0 must reproduce the uniform loss bitwise."""
+    from moving_object_detector_tpu.config import FlowNetConfig
+    from moving_object_detector_tpu.models.pwc_net import PWCNet
+    from moving_object_detector_tpu.train.flow_trainer import flow_loss
+
+    cfg = FlowNetConfig(feature_channels=(8, 16, 32), search_range=2,
+                        use_context_net=False, dtype="float32",
+                        estimator_channels=(16, 8))
+    model = PWCNet(config=cfg)
+    k = jax.random.PRNGKey(0)
+    img1 = jax.random.uniform(k, (1, 32, 48, 1))
+    img2 = jnp.roll(img1, 2, axis=2)
+    params = model.init(jax.random.PRNGKey(1), img1, img2)
+    gt = jnp.zeros((1, 32, 48, 2)).at[..., 0].set(-2.0)
+    l0, e0 = flow_loss(model, params, img1, img2, gt)
+    l1, e1 = flow_loss(model, params, img1, img2, gt, motion_contrast=0.0)
+    assert float(l0) == float(l1) and float(e0) == float(e1)
+    # And a nonzero strength changes the loss but not the reported EPE.
+    l2, e2 = flow_loss(model, params, img1, img2, gt, motion_contrast=4.0)
+    assert float(e2) == float(e0)
