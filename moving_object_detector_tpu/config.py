@@ -92,9 +92,13 @@ class ClustererConfig:
     # the full-frame path via lax.cond. This scales busy-frame cost with
     # CONTENT extent, like the reference's per-cluster loops
     # (clusterer_nodelet.cpp:56-83) whose work scales with dynamic-pixel
-    # count.
-    cc_crop_h: int = 0
-    cc_crop_w: int = 0
+    # count. Measured (BENCH_MATRIX round 3, KITTI busy bench): 162.8
+    # pairs/s full-frame -> 243.9 at 192x512 -> 259.4 at 128x384. The
+    # default 192x512 favors fallback robustness (close/tall objects)
+    # over the last 6%; the fast path auto-disables when the window
+    # would not shrink the frame (e.g. the 192x448 validation scenes).
+    cc_crop_h: int = 192
+    cc_crop_w: int = 512
 
 
 @dataclasses.dataclass(frozen=True)
