@@ -188,6 +188,11 @@ class EgoMotionConfig:
     ransac_sample: int = 3
     gn_iters_hypothesis: int = 5
     gn_iters_refine: int = 8
+    # Top-K RANSAC hypotheses that get the full two-pass refinement; the
+    # winner is chosen by FINAL inlier count. Guards against the planar
+    # yaw/lateral-translation trade-off locking a central-feature subset
+    # (see _ransac_gn_solve); 1 reproduces the old single-candidate path.
+    refine_candidates: int = 4
     inlier_threshold_px: float = 2.0
     min_inliers: int = 12
     bucket_h: int = 4  # feature bucketing grid (viso2-style, odometry_params.h)

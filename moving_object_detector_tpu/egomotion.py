@@ -458,31 +458,62 @@ def _ransac_gn_solve(pts3d, tracked, feat_valid, cam, key, cfg):
         res, _, ok = _reprojection_residuals(tf, pts3d, tracked, cam)
         err = jnp.linalg.norm(res, axis=-1)
         inlier = feat_valid & ok & (err < cfg.inlier_threshold_px)
-        return tf, inlier, inlier.sum()
+        return tf, inlier, _msac_score(err, feat_valid & ok, cfg)
 
     keys = jax.random.split(key, cfg.ransac_hypotheses)
-    tfs, inliers, counts = jax.vmap(one_hypothesis)(keys)
-    best = jnp.argmax(counts)
-    best_inliers = inliers[best]
+    tfs, inliers, scores = jax.vmap(one_hypothesis)(keys)
 
-    # Final refinement on the best inlier set, then a second pass on a
-    # tightened inlier set: features whose track was corrupted near
-    # moving-object boundaries can slip inside the RANSAC gate and bias the
-    # first solution; re-gating at half the threshold removes them.
-    tf = _solve_pose(
-        pts3d, tracked, best_inliers.astype(jnp.float32), cam,
-        cfg.gn_iters_refine,
-    )
-    res, _, ok = _reprojection_residuals(tf, pts3d, tracked, cam)
-    err = jnp.linalg.norm(res, axis=-1)
-    tight = feat_valid & ok & (err < 0.5 * cfg.inlier_threshold_px)
-    tf = _solve_pose(
-        pts3d, tracked, tight.astype(jnp.float32), cam, cfg.gn_iters_refine
-    )
-    res, _, ok = _reprojection_residuals(tf, pts3d, tracked, cam)
-    err = jnp.linalg.norm(res, axis=-1)
-    final_inliers = feat_valid & ok & (err < cfg.inlier_threshold_px)
-    count = final_inliers.sum()
+    # Refine the TOP-K hypotheses (not just argmax) and pick by MSAC
+    # score, NOT by inlier count. Measured failure (rotating_cam scene,
+    # GT-flow + GT-disparity oracle, 2026-08-21): on a fronto-planar
+    # background a yaw error θ traded against lateral translation θ·z
+    # keeps MORE 2 px inliers than the TRUE pose (276 vs 269 of 300 —
+    # the traded pose accommodates a few moving-object/boundary tracks
+    # while still holding the central background inside the gate) but
+    # collapses at 1 px (159 vs 269). Plain count selection therefore
+    # picks the wrong optimum with a ~1.3 deg / 33 cm error; the MSAC
+    # score Σ min(err², th²) prefers the tight fit by a wide margin.
+    # Single-candidate refinement additionally locks whatever basin the
+    # best hypothesis was in; refining several diversifies the basins.
+    k_cand = min(cfg.refine_candidates, cfg.ransac_hypotheses)
+    neg_scores, top_idx = jax.lax.top_k(-scores, k_cand)
+
+    def refine_one(idx):
+        # Two-pass refinement: fit on the hypothesis' inliers, re-gate at
+        # half threshold (drops tracks corrupted near moving-object
+        # boundaries that slipped inside the RANSAC gate), refit.
+        tf = _solve_pose(
+            pts3d, tracked, inliers[idx].astype(jnp.float32), cam,
+            cfg.gn_iters_refine,
+        )
+        res, _, ok = _reprojection_residuals(tf, pts3d, tracked, cam)
+        err = jnp.linalg.norm(res, axis=-1)
+        tight = feat_valid & ok & (err < 0.5 * cfg.inlier_threshold_px)
+        tf = _solve_pose(
+            pts3d, tracked, tight.astype(jnp.float32), cam,
+            cfg.gn_iters_refine,
+        )
+        res, _, ok = _reprojection_residuals(tf, pts3d, tracked, cam)
+        err = jnp.linalg.norm(res, axis=-1)
+        fin = feat_valid & ok & (err < cfg.inlier_threshold_px)
+        return tf, fin.sum().astype(jnp.int32), _msac_score(
+            err, feat_valid & ok, cfg
+        )
+
+    tfs_r, counts_r, scores_r = jax.vmap(refine_one)(top_idx)
+    best_r = jnp.argmin(scores_r)
+    tf = tfs_r[best_r]
+    count = counts_r[best_r]
     success = count >= cfg.min_inliers
     motion = jnp.where(success, tf, jnp.eye(4, dtype=jnp.float32))
-    return motion, success, count.astype(jnp.int32)
+    return motion, success, count
+
+
+def _msac_score(err, valid, cfg):
+    """MSAC objective: truncated squared reprojection error over valid
+    features (lower = better). Unlike the inlier count it is sensitive to
+    HOW WELL inliers fit, which disambiguates poses whose inlier sets
+    differ by a few features but whose residual distributions differ by
+    4x (see the planar yaw/translation note in _ransac_gn_solve)."""
+    th2 = cfg.inlier_threshold_px**2
+    return jnp.sum(jnp.where(valid, jnp.minimum(err**2, th2), th2))
