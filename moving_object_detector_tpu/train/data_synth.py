@@ -298,7 +298,18 @@ def generate_pair(
         bg_scale = jnp.float32(1.0)
     mag = jax.random.uniform(kmag, ())
     mag = jnp.where(jax.random.uniform(kstat, ()) < 0.1, 0.0, mag)
-    obj_mag = jnp.where(is_local, jnp.maximum(mag, 0.4), mag)
+    # Local-regime object magnitude: LOG-uniform over [0.04, 1.0] of
+    # max_shift (e.g. 4.5..112 px at max_shift=112, ~40% below 20 px).
+    # The earlier floor max(mag, 0.4) never generated object shifts
+    # below 0.4*max_shift, so the small-local-motion serving regime (a
+    # 1-3 m/s object at 5-10 m is 5-20 px/frame) was entirely absent
+    # from the local samples — the paste-probe band where pwc_v6m still
+    # missed the gate (0.99/1.63/1.75 px at shifts 6/10/16).
+    kobj = jax.random.fold_in(kmag, 1)
+    log_mag = jax.random.uniform(
+        kobj, (), minval=jnp.log(0.04), maxval=0.0
+    )
+    obj_mag = jnp.where(is_local, jnp.exp(log_mag), mag)
     bg_mag = mag * bg_scale
 
     # --- background layer ---

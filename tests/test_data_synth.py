@@ -158,6 +158,9 @@ def test_local_motion_regime():
             bg_small += 1
         if mag.max() > 5.0:
             obj_large += 1
+        # Objects are guaranteed non-static: the log-uniform magnitude
+        # floor is 0.04 * max_shift (~1 px here).
+        assert mag.max() > 0.8, (s, mag.max())
         # Warp contract: img1(x) ~ img2(x + flow(x)) away from occlusions,
         # modulo the generator's global photometric jitter (gain/bias on
         # img2) — remove the best global gain/bias before comparing.
@@ -176,9 +179,12 @@ def test_local_motion_regime():
             s, float(np.quantile(err, 0.3))
         )
     # The regime holds for the large majority of samples (the 10% global
-    # static floor still produces some all-static scenes).
+    # static floor still produces some all-static scenes). Object
+    # magnitudes are LOG-uniform in [0.04, 1] of max_shift (the small
+    # 5-20 px serving band must be trained, see generate_pair), so only
+    # ~half the samples exceed 5 px — gate at a quarter.
     assert bg_small >= n * 2 // 3, bg_small
-    assert obj_large >= n // 2, obj_large
+    assert obj_large >= n // 4, obj_large
 
 
 def test_local_motion_frac_zero_is_identity():
