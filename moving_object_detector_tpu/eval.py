@@ -319,19 +319,30 @@ def evaluate_planar_sequence(
                 continue
             u = seq.fx * centers[i, 0] / cz + seq.cx
             v = seq.fy * centers[i, 1] / cz + seq.cy
-            hit_j = -1
-            for j, o in enumerate(scoreable):
-                y0, x0, hh, ww = o["px_box"]
-                if (x0 - hit_margin_px <= u <= x0 + ww + hit_margin_px
-                        and y0 - hit_margin_px <= v
-                        <= y0 + hh + hit_margin_px):
-                    hit_j = j
-                    break
-            if hit_j < 0:
+            # Candidate GT objects whose padded image box contains the
+            # detection center, ordered by 3D center distance. Image-box
+            # containment alone mis-scores CROSSING objects: during the
+            # occlusion scene's crossover both boxes contain both
+            # detections, and first-match attribution scored the near
+            # object's detection against the far object — a phantom
+            # 3.4 m center error / 1.9 m/s velocity error (the objects'
+            # 3D separation), not a detector failure (measured 2026-08-21,
+            # scale-2 scene matrix).
+            cand = sorted(
+                (float(np.linalg.norm(centers[i] - o["center_cam"])), j)
+                for j, o in enumerate(scoreable)
+                if (o["px_box"][1] - hit_margin_px <= u
+                    <= o["px_box"][1] + o["px_box"][3] + hit_margin_px
+                    and o["px_box"][0] - hit_margin_px <= v
+                    <= o["px_box"][0] + o["px_box"][2] + hit_margin_px)
+            )
+            if not cand:
                 phantoms += 1
                 continue
-            o = scoreable[hit_j]
-            if not matched[hit_j]:
+            unmatched = [j for _, j in cand if not matched[j]]
+            if unmatched:
+                hit_j = unmatched[0]
+                o = scoreable[hit_j]
                 matched[hit_j] = True
                 hits += 1
                 vel_errs.append(float(np.linalg.norm(
@@ -340,6 +351,8 @@ def evaluate_planar_sequence(
                 center_errs.append(float(np.linalg.norm(
                     centers[i] - o["center_cam"]
                 )))
+            # else: duplicate detection of an already-matched object —
+            # neither a hit nor a phantom (unchanged semantics).
         misses += matched.count(False)
         if details:
             detail_frames.append({

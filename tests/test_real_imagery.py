@@ -249,7 +249,7 @@ def test_end_to_end_real_texture_detection(flow_net):
 # pwc_v5 measured 2026-08-20 (paste probes): net 8.1 px on a 10 px pasted
 # rectangle, 3.9 on 6, 14.0 on 16 — a ~2 px systematic under-tracking of
 # locally-moving objects that halves end-to-end velocity estimates.
-_LOCAL_MOTION_TRAINED = frozenset({"pwc_v6.fp16.npz"})
+_LOCAL_MOTION_TRAINED = frozenset({"pwc_v6m2.fp16.npz"})
 
 
 def test_flow_local_object_motion(flow_net):
