@@ -475,7 +475,9 @@ def _ransac_gn_solve(pts3d, tracked, feat_valid, cam, key, cfg):
     # score Σ min(err², th²) prefers the tight fit by a wide margin.
     # Single-candidate refinement additionally locks whatever basin the
     # best hypothesis was in; refining several diversifies the basins.
-    k_cand = min(cfg.refine_candidates, cfg.ransac_hypotheses)
+    # Clamp to >= 1: top_k(k=0) would hand argmin an empty array and fail
+    # at trace time with an opaque error.
+    k_cand = max(1, min(cfg.refine_candidates, cfg.ransac_hypotheses))
     neg_scores, top_idx = jax.lax.top_k(-scores, k_cand)
 
     def refine_one(idx):

@@ -312,6 +312,19 @@ def evaluate_planar_sequence(
         ]
         scoreable = [truth["objects"][j] for j in scoreable_idx]
         matched = [False] * len(scoreable)
+        # Candidate (distance, detection, object) pairs: GT objects whose
+        # padded image box contains the detection center. Image-box
+        # containment alone mis-scores CROSSING objects: during the
+        # occlusion scene's crossover both boxes contain both detections,
+        # and first-match attribution scored the near object's detection
+        # against the far object — a phantom 3.4 m center error / 1.9 m/s
+        # velocity error (the objects' 3D separation), not a detector
+        # failure (measured 2026-08-21, scale-2 scene matrix). Assignment
+        # is therefore GLOBAL nearest-pair-first over the whole frame, not
+        # per-detection in index order: a duplicate detection can no
+        # longer claim the farther object before that object's own closer
+        # detection is processed.
+        pairs = []
         for i in np.flatnonzero(valid):
             cz = centers[i, 2]
             if cz <= 0:
@@ -319,40 +332,36 @@ def evaluate_planar_sequence(
                 continue
             u = seq.fx * centers[i, 0] / cz + seq.cx
             v = seq.fy * centers[i, 1] / cz + seq.cy
-            # Candidate GT objects whose padded image box contains the
-            # detection center, ordered by 3D center distance. Image-box
-            # containment alone mis-scores CROSSING objects: during the
-            # occlusion scene's crossover both boxes contain both
-            # detections, and first-match attribution scored the near
-            # object's detection against the far object — a phantom
-            # 3.4 m center error / 1.9 m/s velocity error (the objects'
-            # 3D separation), not a detector failure (measured 2026-08-21,
-            # scale-2 scene matrix).
-            cand = sorted(
-                (float(np.linalg.norm(centers[i] - o["center_cam"])), j)
+            cand = [
+                (float(np.linalg.norm(centers[i] - o["center_cam"])),
+                 int(i), j)
                 for j, o in enumerate(scoreable)
                 if (o["px_box"][1] - hit_margin_px <= u
                     <= o["px_box"][1] + o["px_box"][3] + hit_margin_px
                     and o["px_box"][0] - hit_margin_px <= v
                     <= o["px_box"][0] + o["px_box"][2] + hit_margin_px)
-            )
+            ]
             if not cand:
                 phantoms += 1
                 continue
-            unmatched = [j for _, j in cand if not matched[j]]
-            if unmatched:
-                hit_j = unmatched[0]
-                o = scoreable[hit_j]
-                matched[hit_j] = True
-                hits += 1
-                vel_errs.append(float(np.linalg.norm(
-                    vels[i] - o["velocity_cam"]
-                )))
-                center_errs.append(float(np.linalg.norm(
-                    centers[i] - o["center_cam"]
-                )))
-            # else: duplicate detection of an already-matched object —
-            # neither a hit nor a phantom (unchanged semantics).
+            pairs.extend(cand)
+        det_assigned = set()
+        for _, i, j in sorted(pairs):
+            if matched[j] or i in det_assigned:
+                # Detections left unassigned are duplicate detections of
+                # an already-matched object — neither hits nor phantoms
+                # (unchanged semantics).
+                continue
+            o = scoreable[j]
+            matched[j] = True
+            det_assigned.add(i)
+            hits += 1
+            vel_errs.append(float(np.linalg.norm(
+                vels[i] - o["velocity_cam"]
+            )))
+            center_errs.append(float(np.linalg.norm(
+                centers[i] - o["center_cam"]
+            )))
         misses += matched.count(False)
         if details:
             detail_frames.append({

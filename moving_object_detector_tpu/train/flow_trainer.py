@@ -109,6 +109,11 @@ def flow_loss(model: PWCNet, params, img1, img2, gt_flow,
         epe = jnp.sqrt(jnp.sum((lvl_flow - gt) ** 2, axis=-1) + 1e-8)
         if wmap is not None:
             lvl_w = flow_ops.resize_bilinear(wmap[..., None], (lh, lw))[..., 0]
+            # Re-normalize to mean 1 per image after the resize: bilinear
+            # downsampling drifts the mean near borders and at small
+            # levels, which would silently rescale the per-level loss
+            # terms (and thus the tuned loss/LR balance).
+            lvl_w = lvl_w / jnp.mean(lvl_w, axis=(1, 2), keepdims=True)
             epe = epe * lvl_w
         total = total + w * jnp.mean(epe)
     full_epe_map = jnp.sqrt(jnp.sum((full - gt_flow) ** 2, axis=-1) + 1e-8)

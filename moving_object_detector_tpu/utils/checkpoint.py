@@ -69,7 +69,7 @@ def default_flow_checkpoint() -> str | None:
     explicit-path fallbacks only."""
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    for name in ("pwc_v6m2.fp16.npz", "pwc_v5.fp16.npz", "pwc_v4e.fp16.npz",
+    for name in ("pwc_v5.fp16.npz", "pwc_v4e.fp16.npz",
                  "pwc_v4.fp16.npz", "pwc_v2.fp16.npz"):
         path = os.path.join(root, "weights", name)
         if os.path.exists(path):
@@ -89,11 +89,6 @@ _SCALE2_GATED_BASENAMES = frozenset({
     "pwc_v5.fp16.npz",    # train_flow_v5.sh, gates PASS 2026-08-19:
                           # 384x896 scale-2 EPE 2.06, detection 6/7,
                           # 0 phantoms, vel err 0.287
-    "pwc_v6m2.fp16.npz",  # stage M2 (motion-contrast + local-motion
-                          # curriculum), gates PASS 2026-08-21: 384x896
-                          # scale-2 EPE <gate 4.5>, detection 7/7 at
-                          # flow2+sgm2 — see /tmp-gates log values in
-                          # PLAN_NEXT.md round-3b
 })
 
 

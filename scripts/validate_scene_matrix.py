@@ -27,7 +27,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt", nargs="?", default="auto")
-    ap.add_argument("--scale", type=int, default=1)
+    # Only 1 and 2 select validated geometries (2 -> 384x896 so the net
+    # sees the served 192x448); other values would silently score an
+    # unserved resolution.
+    ap.add_argument("--scale", type=int, default=1, choices=[1, 2])
     ap.add_argument("--vel-gate", type=float, default=1.4)
     ap.add_argument("--scenes", default=None,
                     help="comma-separated subset (default: all)")

@@ -191,8 +191,7 @@ def test_bundled_weights_large_motion_bins():
 # Bundled-weight versions trained with the extended magnitude curriculum
 # (max_shift >= 112 at 192x448). Add a basename ONLY when the binned gate
 # above passes on that exact exported file.
-_LARGE_MOTION_TRAINED = frozenset({"pwc_v5.fp16.npz",
-                                   "pwc_v6m2.fp16.npz"})
+_LARGE_MOTION_TRAINED = frozenset({"pwc_v5.fp16.npz"})
 
 
 def test_default_weights_static_fine_texture():
