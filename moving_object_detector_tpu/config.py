@@ -28,6 +28,22 @@ class SceneFlowConfig:
     """
 
     dynamic_flow_diff: float = 5.0
+    # Depth-rate dynamic test (m/s; 0 = off = reference parity). The 2D
+    # flow gate above is blind to objects approaching along the optical
+    # axis: their image expansion barely crosses any pixel gate (measured
+    # 2026-08-21: a 3 m/s object at 9-11 m produces ~1.9 px of rim
+    # expansion vs the ~1.8 px effective gate — 0 detections in the
+    # approach validation scene even with GT flow; the reference has the
+    # same blind spot, scene_flow_constructor.cpp:196-198). The scene
+    # flow's own z-velocity measures that motion directly at EVERY object
+    # pixel via the disparity change, so when > 0 a pixel is also dynamic
+    # if |vz| >= dynamic_depth_rate. Noise floor: SGM subpixel jitter of
+    # ~0.2 px maps to ~0.5 m/s at 6 m depth (fx 300, dt 0.1), and the
+    # clusterer's median dynamic_speed gate filters isolated outliers;
+    # 1.5 m/s is the validated operating point (scene matrix: approach
+    # detected, no new phantoms — scripts/validate_scene_matrix.py
+    # --depth-rate). Hot-tunable (Tunables.dynamic_depth_rate).
+    dynamic_depth_rate: float = 0.0
     max_color_velocity: float = 1.0  # visualization-only (cfg:9)
     # Backend for the flow-matched previous-disparity lookup (the hot
     # 467k-index gather): "pallas" = windowed tile kernel

@@ -42,8 +42,8 @@ _CAM_FX, _CAM_FY, _CAM_CX, _CAM_CY = 0, 1, 2, 3
 _NOW_F, _NOW_T, _NOW_MIN, _NOW_MAX = 4, 5, 6, 7
 _PRV_F, _PRV_T, _PRV_MIN, _PRV_MAX = 8, 9, 10, 11
 _T00 = 12  # 12..23: T_prev2now rows (r00 r01 r02 tx / r10.. ty / r20.. tz)
-_DT, _DYN = 24, 25
-_NPAR = 26
+_DT, _DYN, _VZ = 24, 25, 26
+_NPAR = 27
 
 
 def _fused_kernel(
@@ -160,9 +160,15 @@ def _fused_kernel(
     is_dynamic = diff_norm >= p(_DYN)  # NaN compares False: static
 
     dt = p(_DT)
+    vz_raw = (pnz - qz) / dt
+    # Depth-rate dynamic test (SceneFlowConfig.dynamic_depth_rate; 0 =
+    # off, NaN compares False): same OR as construct_scene_flow.
+    is_dynamic = is_dynamic | (
+        (p(_VZ) > 0.0) & (jnp.abs(vz_raw) >= p(_VZ))
+    )
     vx = jnp.where(is_dynamic, (pnx - qx) / dt, 0.0)
     vy = jnp.where(is_dynamic, (pny - qy) / dt, 0.0)
-    vz = jnp.where(is_dynamic, (pnz - qz) / dt, 0.0)
+    vz = jnp.where(is_dynamic, vz_raw, 0.0)
 
     px_ref[...] = pnx
     py_ref[...] = pny
@@ -243,7 +249,7 @@ def scene_flow_fused_pallas(
 
 def pack_params(
     cam, disparity_now, disparity_prev, transform_prev2now, dt,
-    dynamic_flow_diff,
+    dynamic_flow_diff, dynamic_depth_rate=0.0,
 ) -> jnp.ndarray:
     """Assemble the kernel's SMEM parameter vector from traced scalars."""
     t = jnp.asarray(transform_prev2now, jnp.float32)
@@ -256,7 +262,7 @@ def pack_params(
         t[0, 0], t[0, 1], t[0, 2], t[0, 3],
         t[1, 0], t[1, 1], t[1, 2], t[1, 3],
         t[2, 0], t[2, 1], t[2, 2], t[2, 3],
-        dt, dynamic_flow_diff,
+        dt, dynamic_flow_diff, dynamic_depth_rate,
     ]
     assert len(vals) == _NPAR
     return jnp.stack([jnp.asarray(x, jnp.float32) for x in vals])

@@ -133,11 +133,65 @@ def _flow_forward(
     full, _ = flow_model.apply(flow_params, batch1, batch2)
     flow = full[0, :h, :w, :]
     if input_scale > 1:
-        flow = (
-            flow_ops.resize_bilinear(flow[None], (h0, w0))[0]
-            * float(input_scale)
-        )
+        flow = edge_aware_flow_upsample(flow, (h0, w0), input_scale)
     return flow
+
+
+def edge_aware_flow_upsample(flow_s, out_hw, scale: int,
+                             smooth_spread_px: float = 1.0):
+    """Upsample a 1/``scale``-resolution flow field to ``out_hw``,
+    scaling vectors by ``scale``, WITHOUT blending across motion
+    boundaries.
+
+    Plain bilinear upsampling invents intermediate velocities along every
+    motion boundary: a band of pixels between two oppositely-moving
+    objects gets the average of the two motions, which (a) bridges the
+    clusterer's sign-consistent window CC so crossing objects merge into
+    one cluster (measured 2026-08-21: occlusion scene at
+    flow_input_scale=2, center err 3.37 m from the merged cluster), and
+    (b) pushes static pixels bordering a mover over the dynamic gate
+    (boundary phantom detections in the scale-2 scene matrix).
+
+    Same design as the half-res SGM disparity upsample (_sgm_forward):
+    NEAREST everywhere (exact half-res winners, boundary quantized to
+    scale-px blocks, no invented values), replaced by the bilinear sample
+    only where the local half-res 3x3 flow spread is <=
+    ``smooth_spread_px`` (half-res px) in both components. The 3x3
+    spread window exactly covers the bilinear support, so a pixel whose
+    bilinear sample would mix motions is never marked smooth.
+    """
+    from .ops import flow_ops
+
+    h0, w0 = out_hw
+    hs, ws = flow_s.shape[0], flow_s.shape[1]
+    s = int(scale)
+
+    def _nearest_up(x):
+        up = jnp.repeat(jnp.repeat(x, s, axis=0), s, axis=1)
+        ph, pw = h0 - hs * s, w0 - ws * s
+        if ph or pw:
+            pad = ((0, ph), (0, pw)) + ((0, 0),) * (x.ndim - 2)
+            up = jnp.pad(up, pad, mode="edge")
+        return up
+
+    up_n = _nearest_up(flow_s)
+    up_b = flow_ops.resize_bilinear(flow_s[None], (h0, w0))[0]
+
+    lo = flow_s
+    hi = flow_s
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = jnp.roll(
+                jnp.pad(flow_s, ((1, 1), (1, 1), (0, 0)), mode="edge"),
+                (dy, dx), (0, 1),
+            )[1:-1, 1:-1]
+            lo = jnp.minimum(lo, nb)
+            hi = jnp.maximum(hi, nb)
+    spread = jnp.max(hi - lo, axis=-1)
+    smooth = _nearest_up((spread <= smooth_spread_px)[..., None])
+    return jnp.where(smooth, up_b, up_n) * float(scale)
 
 
 def _sgm_forward(
@@ -314,6 +368,7 @@ def detect_step(
         tunables.dynamic_flow_diff,
         transform_prev2now=motion,
         config=config.scene_flow,
+        dynamic_depth_rate=tunables.dynamic_depth_rate,
     )
     # Reference: no velocity cloud without a previous frame AND a successful
     # ego-motion estimate (construct() null checks,

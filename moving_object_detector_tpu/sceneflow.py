@@ -59,6 +59,7 @@ def construct_scene_flow(
     dynamic_flow_diff: jnp.ndarray,
     transform_prev2now: jnp.ndarray | None = None,
     config=None,
+    dynamic_depth_rate: jnp.ndarray | float = 0.0,
 ):
     """Build the per-pixel velocity cloud.
 
@@ -74,6 +75,12 @@ def construct_scene_flow(
       cam: left pinhole model.
       dt: scalar seconds between the two frames.
       dynamic_flow_diff: scalar pixel threshold (cfg default 5).
+      dynamic_depth_rate: scalar m/s threshold for the depth-rate dynamic
+        test (SceneFlowConfig.dynamic_depth_rate; 0 = off = exact
+        reference parity). When > 0 a pixel is ALSO dynamic if its scene
+        flow's |vz| >= the threshold — closing the flow gate's blind spot
+        for objects approaching along the optical axis, whose disparity
+        change carries the motion the 2D flow misses.
 
     Returns:
       (SceneFlowCloud, static_flow): the velocity cloud and the synthetic
@@ -97,7 +104,7 @@ def construct_scene_flow(
 
         params = pack_params(
             cam, disparity_now, disparity_previous, transform_prev2now,
-            dt, dynamic_flow_diff,
+            dt, dynamic_flow_diff, dynamic_depth_rate,
         )
         points, velocity, static_flow = scene_flow_fused_pallas(
             disparity_now.disparity,
@@ -201,6 +208,9 @@ def construct_scene_flow(
     is_dynamic = diff_norm >= dynamic_flow_diff  # NaN compares False: static
 
     vel = (points_now - prev_pts) / dt
+    # Depth-rate test (off at rate 0; NaN |vz| compares False -> static).
+    rate = jnp.asarray(dynamic_depth_rate, jnp.float32)
+    is_dynamic = is_dynamic | ((rate > 0.0) & (jnp.abs(vel[..., 2]) >= rate))
     vel = jnp.where(is_dynamic[..., None], vel, 0.0)
     velocity = jnp.where(have_velocity[..., None], vel, jnp.nan)
 

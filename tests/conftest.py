@@ -33,3 +33,22 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_cpu_state():
+    """Clear JAX compilation caches after every test module.
+
+    A single-process full-suite run (`python -m pytest tests/`) used to die
+    with a fatal interpreter error ~230 jitted tests in: the XLA-CPU
+    compiler accumulates per-executable state for every jit the suite ever
+    compiled (hundreds of programs x 8 virtual devices) until something in
+    the CPU client falls over. scripts/test.sh works around it by chunking
+    into six pytest processes; this fixture bounds the state in-process so
+    a contributor running plain pytest gets a green run too, at the cost of
+    re-compiling module-shared jits (~identical to the chunked runtime).
+    """
+    yield
+    import jax
+
+    jax.clear_caches()

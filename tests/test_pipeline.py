@@ -240,6 +240,39 @@ def test_flow_input_scale_halves_resolution_path():
     assert float(jnp.mean(jnp.abs(out))) < 0.5
 
 
+def test_edge_aware_flow_upsample_no_boundary_blending():
+    """The half-res flow upsample must NOT invent intermediate velocities
+    along motion boundaries (bilinear blending there merges crossing
+    clusters and creates boundary phantoms), while matching bilinear on
+    smooth regions."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moving_object_detector_tpu.ops import flow_ops
+    from moving_object_detector_tpu.pipeline import edge_aware_flow_upsample
+
+    hs, ws = 16, 24
+    # Two regions moving oppositely: +8 px left half, -8 px right half,
+    # plus a tiny smooth ramp (well under the 1 px spread gate).
+    x = jnp.arange(ws, dtype=jnp.float32)[None, :].repeat(hs, 0)
+    ramp = 0.01 * x
+    u = jnp.where(x < ws // 2, 8.0, -8.0) + ramp
+    flow_s = jnp.stack([u, jnp.zeros_like(u)], axis=-1)
+    out = np.asarray(edge_aware_flow_upsample(flow_s, (2 * hs, 2 * ws), 2))
+    # Every output u value is (2x) one of the half-res values near its
+    # block — never a cross-boundary average. The two motions are ~16
+    # apart after scaling; assert nothing lands in the dead band.
+    assert not np.any((out[..., 0] > -12.0) & (out[..., 0] < 12.0))
+    # Smooth interior (away from the boundary and frame edges): bilinear.
+    bilin = np.asarray(
+        flow_ops.resize_bilinear(flow_s[None], (2 * hs, 2 * ws))[0] * 2.0
+    )
+    interior = np.s_[4:-4, 6 : ws - 8]
+    np.testing.assert_allclose(
+        out[interior], bilin[interior], rtol=0, atol=1e-5
+    )
+
+
 # --- Moving camera: the reference's core competence is ego-motion
 # compensation (construct(), scene_flow_constructor.cpp:91-147) — the
 # static-camera tests above never exercise it end-to-end. Camera translates

@@ -146,3 +146,47 @@ def test_static_flow_matches_ego_motion():
     z = F * B / 10.0
     np.testing.assert_allclose(static[..., 0], -100.0 * 0.1 / z, atol=1e-3)
     np.testing.assert_allclose(static[..., 1], 0.0, atol=1e-3)
+
+
+def test_depth_rate_gate_flags_approaching_plane():
+    """An object approaching along the optical axis produces ~zero image
+    flow but a real disparity change. The 2D flow gate misses it entirely
+    (reference blind spot, scene_flow_constructor.cpp:196-198); with
+    dynamic_depth_rate > 0 the z-velocity flags it at EVERY pixel."""
+    z_prev, z_now = 5.0, 4.8  # approaching: 2 m/s at dt=0.1
+    d_prev = flat_disparity(F * B / z_prev)
+    d_now = flat_disparity(F * B / z_now)
+    pts_now = geometry.disparity_to_points(d_now, CAM)
+    pts_prev = geometry.disparity_to_points(d_prev, CAM)
+    # Central pixels of a frontal plane barely move in the image; use zero
+    # flow (the worst case for the flow gate: center of expansion).
+    flow = jnp.zeros((H, W, 2), jnp.float32)
+    dt = jnp.float32(0.1)
+
+    # Flow gate only (rate 0): everything static (velocity exactly 0).
+    cloud0, _ = sceneflow.construct_scene_flow(
+        pts_now, pts_prev, flow, d_now, d_prev, CAM, dt, jnp.float32(5.0)
+    )
+    vel0 = np.asarray(cloud0.velocity)
+    ok0 = np.isfinite(vel0[..., 0])
+    assert ok0.mean() > 0.5
+    np.testing.assert_allclose(vel0[ok0], 0.0, atol=1e-5)
+
+    # Depth-rate gate at 1.0 m/s: |vz| = 2 m/s flags every valid pixel.
+    cloud1, _ = sceneflow.construct_scene_flow(
+        pts_now, pts_prev, flow, d_now, d_prev, CAM, dt, jnp.float32(5.0),
+        dynamic_depth_rate=jnp.float32(1.0),
+    )
+    vel1 = np.asarray(cloud1.velocity)
+    ok1 = np.isfinite(vel1[..., 0])
+    np.testing.assert_array_equal(ok1, ok0)
+    np.testing.assert_allclose(vel1[ok1][..., 2], -2.0, atol=1e-3)
+
+    # A sub-threshold depth rate stays static (no noise amplification).
+    cloud2, _ = sceneflow.construct_scene_flow(
+        pts_now, pts_prev, flow, d_now, d_prev, CAM, dt, jnp.float32(5.0),
+        dynamic_depth_rate=jnp.float32(3.0),
+    )
+    vel2 = np.asarray(cloud2.velocity)
+    np.testing.assert_allclose(vel2[np.isfinite(vel2[..., 0])], 0.0,
+                               atol=1e-5)

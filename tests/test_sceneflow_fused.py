@@ -105,3 +105,36 @@ def test_fused_out_of_window_degrades_to_nan():
     out_p = _run("pallas_interpret", *scene, vr=4, hr=16)
     assert np.isnan(np.asarray(out_f[0].velocity)[10, 20]).all()
     _assert_parity(out_f, out_p)
+
+
+def test_fused_depth_rate_parity():
+    """dynamic_depth_rate must behave identically in the fused kernel and
+    the composite path (random scene with real disparity differences, so
+    some pixels cross the 0.5 m/s depth-rate gate and others do not)."""
+    stereo, disp_now, disp_prev, flow, t = _scene(24, 132, seed=7,
+                                                  motion=True)
+
+    def run(backend):
+        cfg = dataclasses.replace(
+            SceneFlowConfig(), gather_backend=backend,
+            match_v_radius=8, match_h_radius=64,
+        )
+        pts_now = geometry.disparity_to_points(disp_now, stereo.cam)
+        pts_prev = geometry.transform_points(
+            t, geometry.disparity_to_points(disp_prev, stereo.cam)
+        )
+        return construct_scene_flow(
+            pts_now, pts_prev, flow, disp_now, disp_prev, stereo.cam,
+            jnp.float32(0.1), jnp.float32(5.0), transform_prev2now=t,
+            config=cfg, dynamic_depth_rate=jnp.float32(0.5),
+        )
+
+    _assert_parity(run("fused_interpret"), run("pallas_interpret"))
+    # And the gate actually changes the answer vs rate=0 on this scene.
+    cloud_rate, _ = run("fused_interpret")
+    cloud_off, _ = _run("fused_interpret", stereo, disp_now, disp_prev,
+                        flow, t)
+    a = np.asarray(cloud_rate.velocity)
+    b = np.asarray(cloud_off.velocity)
+    both = np.isfinite(a[..., 2]) & np.isfinite(b[..., 2])
+    assert ((a[..., 2] != b[..., 2]) & both).any()

@@ -223,3 +223,103 @@ def test_detect_step_streams_spatial_composition():
     assert int(np.asarray(out_sp.detections.valid).sum()) == 0
     assert int(np.asarray(out_pl.detections.valid).sum()) == 0
     assert bool(np.asarray(out_sp.frame_valid).all())
+
+
+def test_streams_spatial_with_pallas_interpret_kernels():
+    """The manual-SPMD streams x spatial composition must compose with the
+    PALLAS kernels (not just their XLA oracles): parallel/spatial.py's
+    contract is that no GSPMD pass ever sees the Pallas calls, so the
+    kernels must run unmodified inside the shard_map. Exercised here with
+    every Pallas family in interpret mode on the CPU mesh — SGM v2
+    (census-fused DP), flow correlation, scene-flow windowed gather, and
+    clusterer CC + stats — and checked for plumbing exactness against the
+    unsharded batched step fed the sharded heavy-stage outputs."""
+    from moving_object_detector_tpu.config import (
+        ClustererConfig, EgoMotionConfig, PipelineConfig, SceneFlowConfig,
+        TrackerConfig,
+    )
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet, init_pwc_params,
+    )
+    from moving_object_detector_tpu.parallel.spatial import (
+        detect_step_streams_spatial,
+    )
+    from moving_object_detector_tpu.parallel.streams import (
+        create_stream_states, detect_step_batched,
+    )
+
+    h, w, n = 64, 160, 2
+    config = PipelineConfig(
+        height=h, width=w,
+        scene_flow=SceneFlowConfig(
+            dynamic_flow_diff=2.0, gather_backend="pallas_interpret",
+        ),
+        clusterer=ClustererConfig(
+            cluster_size=100, depth_diff=0.3, dynamic_speed=0.3,
+            neighbor_distance=2, max_objects=4,
+            cc_backend="pallas_interpret",
+        ),
+        tracker=TrackerConfig(max_tracks=8),
+        # The v2 Pallas kernels are specialized to D=128.
+        sgm=SGMConfig(max_disparity=128, census_window=(5, 5),
+                      backend="pallas_interpret"),
+        egomotion=EgoMotionConfig(
+            max_features=128, nms_radius=2, ransac_hypotheses=16,
+            lk_pyramid_levels=2, min_inliers=8,
+        ),
+        flownet=FlowNetConfig(
+            feature_channels=(8, 16, 32), search_range=2,
+            use_context_net=False, dtype="float32",
+            corr_backend="pallas_interpret",
+        ),
+    )
+    stereo = StereoModel.create(fx=100.0, fy=100.0, cx=w / 2, cy=h / 2,
+                                baseline=0.48)
+    model = PWCNet(config=config.flownet)
+    params = init_pwc_params(model, h, w, jax.random.PRNGKey(0))
+
+    keys = jax.random.split(jax.random.PRNGKey(3), n)
+    k3 = jnp.ones((3, 3), jnp.float32) / 9.0
+
+    def scene(key):
+        img = jax.random.uniform(key, (h, w), jnp.float32)
+        return jax.scipy.signal.convolve2d(img, k3, mode="same")
+
+    lefts0 = jax.vmap(scene)(keys)
+    rights0 = jnp.roll(lefts0, -6, axis=2)
+
+    mesh = create_mesh(4, model_parallel=2)  # (data=2, model=2)
+    states = create_stream_states(config, n)
+    ts0 = jnp.full((n,), 0.1, jnp.float32)
+    ts1 = jnp.full((n,), 0.2, jnp.float32)
+
+    with mesh:
+        states_sp, _ = detect_step_streams_spatial(
+            params, states, lefts0, rights0, ts0, stereo, config, model,
+            mesh, sgm_halo=12, flow_halo=24,
+        )
+        _, out_sp = detect_step_streams_spatial(
+            params, states_sp, lefts0, rights0, ts1, stereo, config, model,
+            mesh, sgm_halo=12, flow_halo=24,
+        )
+
+    # Plumbing exactness: the batched step fed the SAME sharded heavy
+    # outputs (and the same interpret-Pallas light stages) reproduces the
+    # composed step bitwise.
+    _, out_ref = detect_step_batched(
+        params, states_sp, lefts0, rights0, ts1, stereo, config,
+        flow_model=model,
+        flow_overrides=out_sp.flow,
+        disparity_overrides=out_sp.disparity,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_ref.scene_flow.velocity),
+        np.asarray(out_sp.scene_flow.velocity),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_ref.label_image), np.asarray(out_sp.label_image)
+    )
+    # Static scene through real kernels: finite fields, no detections.
+    assert np.isfinite(np.asarray(out_sp.flow)).all()
+    assert int(np.asarray(out_sp.detections.valid).sum()) == 0
+    assert bool(np.asarray(out_sp.frame_valid).all())
