@@ -35,6 +35,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--busy", action="store_true",
                     help="cycle synthetic moving-object frames")
+    ap.add_argument("--busy-wide", action="store_true",
+                    help="with --busy: add a second moving object near the "
+                         "opposite frame corner, so the combined dynamic "
+                         "extent defeats the cc-crop window and the "
+                         "clusterer takes the full-frame fallback path")
     ap.add_argument("--flow-checkpoint", default="auto",
                     help="orbax dir or .npz with trained PWC-Net params; "
                          "'auto' uses the newest gate-passing bundled weights "
@@ -162,9 +167,24 @@ def main(argv=None):
         )
 
         seq = SyntheticStereoSequence(height=h, width=w, n_frames=4)
+        seq2 = None
+        if args.busy_wide:
+            # Second object near the opposite corner, same background
+            # texture so plain rectangle compositing is exact.
+            seq2 = SyntheticStereoSequence(
+                height=h, width=w, n_frames=4, seed=1, bg_texture=seq.bg,
+            )
+            seq2.obj_y = h - seq2.obj_h - max(8, h // 32)
+            seq2.obj_x0 = w - seq2.obj_w - max(32, w // 16) - 4 * 6
         lefts, rights = [], []
         for k in range(4):
             fl, fr, _, _ = seq.frame(k)
+            if seq2 is not None:
+                fl2, fr2, _, tr2 = seq2.frame(k)
+                y, x, oh, ow = tr2["obj_box"]
+                fl[y : y + oh, x : x + ow] = fl2[y : y + oh, x : x + ow]
+                rx = max(0, x - int(round(seq2.d_obj)))
+                fr[y : y + oh, rx : rx + ow] = fr2[y : y + oh, rx : rx + ow]
             lefts.append(fl)
             rights.append(fr)
         left_ring = jnp.asarray(np.stack(lefts).astype(np.float32))
@@ -350,7 +370,7 @@ def main(argv=None):
     baseline = 200.0  # north-star target, BASELINE.json
     metric = "kitti_stereo_pairs_per_sec_per_chip_end_to_end"
     if args.busy:
-        metric += "_busy"
+        metric += "_busywide" if args.busy_wide else "_busy"
     if n_streams > 1:
         metric += f"_x{n_streams}streams"
     if n_spatial > 1:

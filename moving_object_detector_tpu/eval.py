@@ -328,10 +328,15 @@ def evaluate_planar_sequence(
         # longer claim the farther object before that object's own closer
         # detection is processed.
         pairs = []
+        frame_phantoms = []
         for i in np.flatnonzero(valid):
             cz = centers[i, 2]
             if cz <= 0:
                 phantoms += 1
+                frame_phantoms.append({
+                    "center": centers[i].tolist(),
+                    "vel": vels[i].tolist(), "px": None,
+                })
                 continue
             u = seq.fx * centers[i, 0] / cz + seq.cx
             v = seq.fy * centers[i, 1] / cz + seq.cy
@@ -346,6 +351,11 @@ def evaluate_planar_sequence(
             ]
             if not cand:
                 phantoms += 1
+                frame_phantoms.append({
+                    "center": centers[i].tolist(),
+                    "vel": vels[i].tolist(),
+                    "px": [float(u), float(v)],
+                })
                 continue
             pairs.extend(cand)
         det_assigned = set()
@@ -382,6 +392,7 @@ def evaluate_planar_sequence(
                      "vel": vels[i].tolist()}
                     for i in np.flatnonzero(valid)
                 ],
+                "phantoms": frame_phantoms,
             })
 
     n_scored = hits + misses

@@ -95,6 +95,15 @@ def main():
         errs = []
         if m["phantoms"] != 0:
             errs.append(f"phantoms={m['phantoms']}")
+            for df in m["detail_frames"]:
+                for ph in df.get("phantoms", []):
+                    c = ph["center"]
+                    v = ph["vel"]
+                    px = ph["px"]
+                    print(f"#   phantom frame {df['k']}: "
+                          f"cam=({c[0]:.2f},{c[1]:.2f},{c[2]:.2f}) "
+                          f"|v|={sum(x * x for x in v) ** 0.5:.2f} "
+                          f"px={px}")
         if m["ego_failures"] != 0:
             errs.append(f"ego_failures={m['ego_failures']}")
         if m["d1"] >= 0.05:
