@@ -28,22 +28,26 @@ class SceneFlowConfig:
     """
 
     dynamic_flow_diff: float = 5.0
-    # Depth-rate dynamic test (m/s; 0 = off = reference parity). The 2D
-    # flow gate above is blind to objects approaching along the optical
-    # axis: their image expansion barely crosses any pixel gate (measured
-    # 2026-08-21: a 3 m/s object at 9-11 m produces ~1.9 px of rim
-    # expansion vs the ~1.8 px effective gate — 0 detections in the
+    # Disparity-rate dynamic test (px/s; 0 = off = reference parity). The
+    # 2D flow gate above is blind to objects approaching along the
+    # optical axis: their image expansion barely crosses any pixel gate
+    # (measured 2026-08-21: a 3 m/s object at 9-11 m produces ~1.9 px of
+    # rim expansion vs the ~1.8 px effective gate — 0 detections in the
     # approach validation scene even with GT flow; the reference has the
-    # same blind spot, scene_flow_constructor.cpp:196-198). The scene
-    # flow's own z-velocity measures that motion directly at EVERY object
-    # pixel via the disparity change, so when > 0 a pixel is also dynamic
-    # if |vz| >= dynamic_depth_rate. Noise floor: SGM subpixel jitter of
-    # ~0.2 px maps to ~0.5 m/s at 6 m depth (fx 300, dt 0.1), and the
-    # clusterer's median dynamic_speed gate filters isolated outliers;
-    # 1.5 m/s is the validated operating point (scene matrix: approach
-    # detected, no new phantoms — scripts/validate_scene_matrix.py
-    # --depth-rate). Hot-tunable (Tunables.dynamic_depth_rate).
-    dynamic_depth_rate: float = 0.0
+    # same blind spot, scene_flow_constructor.cpp:196-198). The disparity
+    # change between the measured current disparity and the ego-motion-
+    # predicted one measures that motion directly at EVERY object pixel,
+    # so when > 0 a pixel is also dynamic if |d_now - d_predicted|/dt >=
+    # dynamic_disparity_rate. Disparity units make the gate's noise floor
+    # DEPTH-UNIFORM (SGM subpixel jitter is ~constant px at any depth);
+    # an absolute m/s z-velocity gate was measured to phantom on far
+    # background, where vz noise scales as z^2 (1.5 m/s at z=12 is only
+    # ~1.5 px/s of disparity noise, scene matrix 2026-08-21). Validated
+    # operating point: 3.0 px/s (approach scene detected at 192x448
+    # fx=300 where the object sweeps 3.7-5.6 px/s, background noise tail
+    # ~1.5 px/s; margins double at KITTI fx/baseline). Hot-tunable
+    # (Tunables.dynamic_disparity_rate).
+    dynamic_disparity_rate: float = 0.0
     max_color_velocity: float = 1.0  # visualization-only (cfg:9)
     # Backend for the flow-matched previous-disparity lookup (the hot
     # 467k-index gather): "pallas" = windowed tile kernel
@@ -236,6 +240,11 @@ class FlowNetConfig:
 
     pyramid_levels: int = 6
     search_range: int = 4  # correlation max displacement
+    # Input channels the weights expect (1 = grayscale, 3 = RGB). Like the
+    # other architecture fields, inferred from checkpoint kernel shapes at
+    # load (models.pwc_net.infer_flow_config); the pipeline adapts frames
+    # to this count (pipeline._adapt_flow_channels).
+    in_channels: int = 1
     feature_channels: Tuple[int, ...] = (16, 32, 64, 96, 128, 196)
     # Decoder widths. Defaults match the original PWC-Net heads; slim
     # variants (a retraining experiment, PLAN_NEXT item 2) shrink these.
@@ -272,6 +281,14 @@ class PipelineConfig:
 
     height: int = 376
     width: int = 1242
+    # Color input path. False: (H, W) grayscale frames end-to-end. True:
+    # frames arrive as (H, W, 3) RGB; the flow net sees whatever channel
+    # count its weights were trained with (FlowNetConfig.in_channels —
+    # luma-collapsed for 1-channel weights), while SGM and ego-motion
+    # always run on luma, matching the reference: the camera's native
+    # image goes to PWC-Net (scene_flow_constructor.cpp:279-282) and only
+    # viso2 gets MONO8 (:220-221).
+    color: bool = False
     # Run the flow net at 1/N resolution (upscaled back): serving speed
     # knob for e.g. the ZED-live operating point.
     flow_input_scale: int = 1

@@ -205,7 +205,7 @@ def evaluate_planar_sequence(
     flow_model=None,
     flow_input_scale: int = 1,
     sgm_input_scale: int = 1,
-    dynamic_depth_rate: float = 0.0,
+    dynamic_disparity_rate: float = 0.0,
     config=None,
     min_visible_frac: float = 1.5,
     hit_margin_px: int = 16,
@@ -261,7 +261,7 @@ def evaluate_planar_sequence(
                 dynamic_flow_diff=config.scene_flow.dynamic_flow_diff
                 * (w / 1242.0),
                 # m/s threshold: physical units, no resolution rescale.
-                dynamic_depth_rate=dynamic_depth_rate,
+                dynamic_disparity_rate=dynamic_disparity_rate,
             ),
         )
     stereo = StereoModel.create(

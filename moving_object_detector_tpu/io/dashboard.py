@@ -203,12 +203,13 @@ class LiveDashboard:
         # Camera overlay is the headline view: render it whenever anything
         # is wanted (the first page load requests all four).
         if self._wanted("camera"):
-            gray = np.asarray(left, np.float32)
-            if gray.max() > 1.5:
-                gray = gray / 255.0
-            rgb = np.repeat(
-                np.clip(gray, 0, 1)[..., None], 3, axis=-1
-            )
+            img = np.asarray(left, np.float32)
+            if img.max() > 1.5:
+                img = img / 255.0
+            if img.ndim == 3:  # color frames render natively
+                rgb = np.clip(img[..., :3], 0, 1).copy()
+            else:
+                rgb = np.repeat(np.clip(img, 0, 1)[..., None], 3, axis=-1)
             _overlay_objects(rgb, out.detections, stereo.cam, (1.0, 0.2, 0.2))
             # Tracks live in the odom frame; draw them through the camera
             # pose (odom <- camera).

@@ -139,9 +139,15 @@ class FrameRing:
         capacity: int = 4,
         drop_oldest: bool = False,
         force_python: bool = False,
+        channels: int = 1,
     ):
         self.h, self.w = height, width
-        self.frame_floats = 2 * height * width
+        self.channels = channels
+        self._frame_shape = (
+            (height, width) if channels == 1 else (height, width, channels)
+        )
+        self._frame_px = height * width * channels
+        self.frame_floats = 2 * self._frame_px
         self.payload_bytes = self.frame_floats * 4
         self._drop_oldest = drop_oldest
         self._lib = None if force_python else _load_library()
@@ -224,8 +230,8 @@ class FrameRing:
                 )
                 frames = flat.view(np.float32)[: self.frame_floats].copy()
                 self._lib.modt_ring_release(self._ring)
-            left = frames[: self.h * self.w].reshape(self.h, self.w)
-            right = frames[self.h * self.w :].reshape(self.h, self.w)
+            left = frames[: self._frame_px].reshape(self._frame_shape)
+            right = frames[self._frame_px :].reshape(self._frame_shape)
             return left, right, float(ts.value)
         with self._cond:
             if not self._deque:
@@ -235,8 +241,8 @@ class FrameRing:
                 return None
             buf, t, _ = self._deque.popleft()
             self._cond.notify_all()
-        left = buf[: self.h * self.w].reshape(self.h, self.w)
-        right = buf[self.h * self.w :].reshape(self.h, self.w)
+        left = buf[: self._frame_px].reshape(self._frame_shape)
+        right = buf[self._frame_px :].reshape(self._frame_shape)
         return left, right, t
 
     def size(self) -> int:

@@ -8,7 +8,10 @@ module provides: dependency-free PGM/PNG/NPY image loading (KITTI raw ships
 Gazebo-simulation analog, SURVEY.md §2.3 sim assets).
 
 All readers yield (left, right, timestamp) with images as float32 [0, 1]
-(H, W) grayscale arrays — the pipeline's input contract.
+(H, W) grayscale arrays — the pipeline's default input contract — or
+(H, W, 3) RGB when constructed with color=True (PipelineConfig.color;
+the reference feeds the camera's native color image to PWC-Net,
+scene_flow_constructor.cpp:279-282).
 """
 
 from __future__ import annotations
@@ -150,8 +153,11 @@ def _png_to_float(out, height, width, channels, bitdepth):
     return arr[..., 0] if channels == 1 else arr
 
 
-def read_image(path: str) -> np.ndarray:
-    """Load PGM/PPM/PNG/NPY as float32, grayscale converted with BT.601."""
+def read_image(path: str, color: bool = False) -> np.ndarray:
+    """Load PGM/PPM/PNG/NPY as float32. Default: grayscale, BT.601-
+    converting color sources. ``color=True``: (H, W, 3) RGB, replicating
+    grayscale sources into three channels (the color pipeline contract,
+    PipelineConfig.color)."""
     ext = os.path.splitext(path)[1].lower()
     if ext in (".pgm", ".ppm", ".pnm"):
         img = read_pgm(path)
@@ -163,6 +169,12 @@ def read_image(path: str) -> np.ndarray:
             img = img / 255.0
     else:
         raise ValueError(f"unsupported image format: {path}")
+    if img.ndim == 3 and img.shape[-1] == 4:
+        img = img[..., :3]  # drop alpha
+    if color:
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        return np.ascontiguousarray(img[..., :3], np.float32)
     if img.ndim == 3:
         img = (
             0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
@@ -184,6 +196,7 @@ class ImageSequence:
     left_dir: str
     right_dir: str
     fps: float = 10.0
+    color: bool = False  # yield (H, W, 3) RGB (PipelineConfig.color)
 
     def _timestamps(self) -> list[float] | None:
         """KITTI raw timestamps.txt next to the data dir (image_02/data ->
@@ -220,7 +233,8 @@ class ImageSequence:
         stamps = self._timestamps()
         for i, (lp, rp) in enumerate(zip(lefts, rights)):
             t = stamps[i] if stamps and i < len(stamps) else i / self.fps
-            yield read_image(lp), read_image(rp), t
+            yield (read_image(lp, color=self.color),
+                   read_image(rp, color=self.color), t)
 
 
 @dataclasses.dataclass
@@ -412,17 +426,32 @@ class SocketStereoSequence:
 
 @dataclasses.dataclass
 class NpzSequence:
-    """Recorded sequence from a single .npz: arrays 'left' (N, H, W),
-    'right' (N, H, W), optional 'time' (N,) — the rosbag analog."""
+    """Recorded sequence from a single .npz: arrays 'left' (N, H, W[, 3]),
+    'right' (N, H, W[, 3]), optional 'time' (N,) — the rosbag analog.
+    Channel handling mirrors read_image: color bags collapse to BT.601
+    luma unless color=True; grayscale bags replicate when color=True."""
 
     path: str
+    color: bool = False
+
+    @staticmethod
+    def _convert(img: np.ndarray, color: bool) -> np.ndarray:
+        if color:
+            if img.ndim == 2:
+                img = np.repeat(img[..., None], 3, axis=-1)
+            return np.ascontiguousarray(img[..., :3], np.float32)
+        if img.ndim == 3:
+            img = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                   + 0.114 * img[..., 2])
+        return np.asarray(img, np.float32)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, float]]:
         data = np.load(self.path)
         left, right = data["left"], data["right"]
         times = data["time"] if "time" in data else np.arange(len(left)) * 0.1
         for l, r, t in zip(left, right, times):
-            yield l.astype(np.float32), r.astype(np.float32), float(t)
+            yield (self._convert(l, self.color),
+                   self._convert(r, self.color), float(t))
 
 
 class SyntheticStereoSequence:

@@ -79,6 +79,7 @@ class PipelineRunner:
         self.ring = FrameRing(
             config.height, config.width, capacity=ring_capacity,
             drop_oldest=drop_oldest,
+            channels=3 if getattr(config, "color", False) else 1,
         )
         self.timer = StageTimer()
         if export_dir:

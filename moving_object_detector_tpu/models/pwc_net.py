@@ -263,6 +263,9 @@ def infer_flow_config(
         out_ch(f"{fp}ConvBlock_{2 * i + 1}/Conv_0/kernel")
         for i in range(n_blocks // 2)
     )
+    # Input channel count (1 = grayscale, 3 = RGB weights): the first
+    # pyramid conv's kernel input width.
+    in_channels = int(shapes[f"{fp}ConvBlock_0/Conv_0/kernel"][-2])
 
     est = "params/FlowEstimator_0/"
     estimator_channels = tuple(
@@ -295,6 +298,7 @@ def infer_flow_config(
         context_channels=context_channels,
         use_context_net=use_context,
         search_range=search_range,
+        in_channels=in_channels,
     )
 
 
@@ -309,7 +313,8 @@ def init_pwc_params(model: PWCNet, height: int, width: int, key=None):
     """
     key = key if key is not None else jax.random.PRNGKey(0)
     n = 2 ** model.config.pyramid_levels
-    dummy = jnp.zeros((1, n, 2 * n, 1), jnp.float32)
+    c = getattr(model.config, "in_channels", 1)
+    dummy = jnp.zeros((1, n, 2 * n, c), jnp.float32)
     # jit: one compiled program instead of ~50 eager dispatches (200+ s on
     # a 1-core host), and it lands in the persistent compilation cache.
     return jax.jit(model.init)(key, dummy, dummy)
@@ -319,5 +324,6 @@ def init_pwc_params_abstract(model: PWCNet):
     """Param pytree as ShapeDtypeStructs — no compile, no compute. Use as
     the ``like`` when restoring a checkpoint (utils/checkpoint)."""
     n = 2 ** model.config.pyramid_levels
-    dummy = jnp.zeros((1, n, 2 * n, 1), jnp.float32)
+    c = getattr(model.config, "in_channels", 1)
+    dummy = jnp.zeros((1, n, 2 * n, c), jnp.float32)
     return jax.eval_shape(model.init, jax.random.PRNGKey(0), dummy, dummy)

@@ -160,15 +160,16 @@ def _fused_kernel(
     is_dynamic = diff_norm >= p(_DYN)  # NaN compares False: static
 
     dt = p(_DT)
-    vz_raw = (pnz - qz) / dt
-    # Depth-rate dynamic test (SceneFlowConfig.dynamic_depth_rate; 0 =
-    # off, NaN compares False): same OR as construct_scene_flow.
-    is_dynamic = is_dynamic | (
-        (p(_VZ) > 0.0) & (jnp.abs(vz_raw) >= p(_VZ))
+    # Disparity-rate dynamic test (SceneFlowConfig.dynamic_disparity_rate;
+    # 0 = off, NaN compares False): same OR as construct_scene_flow.
+    d_pred = jnp.where(
+        qz > 0.0, p(_NOW_F) * p(_NOW_T) / jnp.maximum(qz, 1e-6), nan
     )
+    ddot = jnp.abs(d_now - d_pred) / dt
+    is_dynamic = is_dynamic | ((p(_VZ) > 0.0) & (ddot >= p(_VZ)))
     vx = jnp.where(is_dynamic, (pnx - qx) / dt, 0.0)
     vy = jnp.where(is_dynamic, (pny - qy) / dt, 0.0)
-    vz = jnp.where(is_dynamic, vz_raw, 0.0)
+    vz = jnp.where(is_dynamic, (pnz - qz) / dt, 0.0)
 
     px_ref[...] = pnx
     py_ref[...] = pny
@@ -249,7 +250,7 @@ def scene_flow_fused_pallas(
 
 def pack_params(
     cam, disparity_now, disparity_prev, transform_prev2now, dt,
-    dynamic_flow_diff, dynamic_depth_rate=0.0,
+    dynamic_flow_diff, dynamic_disparity_rate=0.0,
 ) -> jnp.ndarray:
     """Assemble the kernel's SMEM parameter vector from traced scalars."""
     t = jnp.asarray(transform_prev2now, jnp.float32)
@@ -262,7 +263,7 @@ def pack_params(
         t[0, 0], t[0, 1], t[0, 2], t[0, 3],
         t[1, 0], t[1, 1], t[1, 2], t[1, 3],
         t[2, 0], t[2, 1], t[2, 2], t[2, 3],
-        dt, dynamic_flow_diff, dynamic_depth_rate,
+        dt, dynamic_flow_diff, dynamic_disparity_rate,
     ]
     assert len(vals) == _NPAR
     return jnp.stack([jnp.asarray(x, jnp.float32) for x in vals])

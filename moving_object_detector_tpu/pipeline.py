@@ -52,7 +52,7 @@ class PipelineState:
 
     pose: jnp.ndarray  # (4, 4) odom <- base_link integrated pose
     # (== odom <- camera when stereo.base_from_camera is identity)
-    prev_left: jnp.ndarray  # (H, W) f32 previous left image
+    prev_left: jnp.ndarray  # (H, W[, 3]) f32 previous left image
     prev_disparity: DisparityImage  # previous disparity WITH metadata
     prev_time: jnp.ndarray  # () f32
     has_prev: jnp.ndarray  # () bool
@@ -62,9 +62,10 @@ class PipelineState:
     @classmethod
     def create(cls, config: PipelineConfig) -> "PipelineState":
         h, w = config.height, config.width
+        shape = (h, w, 3) if getattr(config, "color", False) else (h, w)
         return cls(
             pose=jnp.eye(4, dtype=jnp.float32),
-            prev_left=jnp.zeros((h, w), jnp.float32),
+            prev_left=jnp.zeros(shape, jnp.float32),
             # Placeholder metadata (max<min gates everything invalid);
             # replaced by the real DisparityImage after frame 0, so an
             # override's f/T/min/max survive into the next frame's
@@ -101,10 +102,36 @@ class FrameOutput:
 
 
 def _pad_to_multiple(img: jnp.ndarray, mult: int):
-    h, w = img.shape
+    h, w = img.shape[0], img.shape[1]
     ph = (-h) % mult
     pw = (-w) % mult
-    return jnp.pad(img, ((0, ph), (0, pw)), mode="edge"), (h, w)
+    pad = ((0, ph), (0, pw)) + ((0, 0),) * (img.ndim - 2)
+    return jnp.pad(img, pad, mode="edge"), (h, w)
+
+
+def luma(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) RGB -> (H, W) BT.601 luma; (H, W) passes through. The
+    MONO8 conversion the reference applies before viso2
+    (scene_flow_constructor.cpp:220-221)."""
+    if img.ndim == 2:
+        return img
+    return (
+        0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    ).astype(img.dtype)
+
+
+def _adapt_flow_channels(img: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Match a frame to the flow weights' input channel count
+    (FlowNetConfig.in_channels): (H, W[, C_in]) -> (H, W, c)."""
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.shape[-1] == c:
+        return img
+    if c == 1:
+        return luma(img)[..., None]
+    if img.shape[-1] == 1:
+        return jnp.broadcast_to(img, img.shape[:2] + (c,))
+    raise ValueError(f"cannot adapt {img.shape} to {c} flow channels")
 
 
 def _flow_forward(
@@ -118,18 +145,19 @@ def _flow_forward(
     fast" operating point (detect_with_zed.launch:10-14), but keeping the
     field of view.
     """
-    from .ops import flow_ops
-
-    h0, w0 = prev_img.shape
+    c = getattr(flow_model.config, "in_channels", 1)
+    prev_img = _adapt_flow_channels(prev_img, c)
+    now_img = _adapt_flow_channels(now_img, c)
+    h0, w0 = prev_img.shape[0], prev_img.shape[1]
     if input_scale > 1:
         hs, ws = h0 // input_scale, w0 // input_scale
-        prev_img = jax.image.resize(prev_img, (hs, ws), "bilinear")
-        now_img = jax.image.resize(now_img, (hs, ws), "bilinear")
+        prev_img = jax.image.resize(prev_img, (hs, ws, c), "bilinear")
+        now_img = jax.image.resize(now_img, (hs, ws, c), "bilinear")
     mult = 2 ** len(flow_model.config.feature_channels)
     p1, (h, w) = _pad_to_multiple(prev_img, mult)
     p2, _ = _pad_to_multiple(now_img, mult)
-    batch1 = p1[None, :, :, None]
-    batch2 = p2[None, :, :, None]
+    batch1 = p1[None]
+    batch2 = p2[None]
     full, _ = flow_model.apply(flow_params, batch1, batch2)
     flow = full[0, :h, :w, :]
     if input_scale > 1:
@@ -311,6 +339,13 @@ def detect_step(
     cam = stereo.cam
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
+    # Color contract: (H, W) grayscale or (H, W, 3) RGB (config.color).
+    # SGM and ego-motion always run on luma (the reference's MONO8
+    # conversion before viso2, scene_flow_constructor.cpp:220-221); the
+    # flow net sees whatever its weights were trained on (the reference
+    # feeds PWC the camera's native image, :279-282).
+    gray_left = luma(left)
+    gray_right = luma(right)
     t = jnp.asarray(t, jnp.float32)
     if tunables is None:
         # Constants folded at trace time; pass a Tunables pytree to retune
@@ -323,7 +358,7 @@ def detect_step(
     if disparity_override is not None:
         disparity_now = disparity_override
     else:
-        disparity_now = _sgm_forward(left, right, stereo, config)
+        disparity_now = _sgm_forward(gray_left, gray_right, stereo, config)
 
     disparity_prev = state.prev_disparity
 
@@ -340,8 +375,8 @@ def detect_step(
 
     key = jax.random.fold_in(jax.random.PRNGKey(7), state.frame_index)
     motion, ego_ok, _ = estimate_motion(
-        state.prev_left,
-        left,
+        luma(state.prev_left),
+        gray_left,
         disparity_prev,
         cam,
         key,
@@ -368,7 +403,7 @@ def detect_step(
         tunables.dynamic_flow_diff,
         transform_prev2now=motion,
         config=config.scene_flow,
-        dynamic_depth_rate=tunables.dynamic_depth_rate,
+        dynamic_disparity_rate=tunables.dynamic_disparity_rate,
     )
     # Reference: no velocity cloud without a previous frame AND a successful
     # ego-motion estimate (construct() null checks,

@@ -93,6 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="watched JSON file of Tunables fields "
                         "(dynamic_reconfigure analog): edits apply between "
                         "frames with no recompile")
+    p.add_argument("--color", action="store_true",
+                   help="feed (H, W, 3) RGB frames (kitti/live/npz "
+                        "sources): the flow net sees color when its "
+                        "weights are RGB-trained; SGM and ego-motion "
+                        "always run on luma. Matches the reference's "
+                        "color-to-PWC / MONO8-to-viso2 split "
+                        "(scene_flow_constructor.cpp:279-282, :220-221).")
     return p
 
 
@@ -123,6 +130,8 @@ def main(argv=None) -> int:
         )
     else:
         config = PipelineConfig(height=args.height, width=args.width)
+    if args.color:
+        config = config.replace(color=True)
     if args.flow_input_scale != 1 or args.sgm_input_scale != 1:
         config = config.replace(
             flow_input_scale=args.flow_input_scale,
@@ -158,7 +167,8 @@ def main(argv=None) -> int:
         if not (args.left_dir and args.right_dir):
             print("--left-dir/--right-dir required for kitti", file=sys.stderr)
             return 2
-        seq = readers.ImageSequence(args.left_dir, args.right_dir, args.fps)
+        seq = readers.ImageSequence(args.left_dir, args.right_dir, args.fps,
+                                    color=args.color)
     elif args.source == "live":
         if not (args.left_dir and args.right_dir):
             print("--left-dir/--right-dir required for live", file=sys.stderr)
@@ -178,7 +188,7 @@ def main(argv=None) -> int:
         if not args.npz:
             print("--npz required", file=sys.stderr)
             return 2
-        seq = readers.NpzSequence(args.npz)
+        seq = readers.NpzSequence(args.npz, color=args.color)
 
     if args.crop:
         import jax.numpy as jnp

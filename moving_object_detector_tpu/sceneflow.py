@@ -59,7 +59,7 @@ def construct_scene_flow(
     dynamic_flow_diff: jnp.ndarray,
     transform_prev2now: jnp.ndarray | None = None,
     config=None,
-    dynamic_depth_rate: jnp.ndarray | float = 0.0,
+    dynamic_disparity_rate: jnp.ndarray | float = 0.0,
 ):
     """Build the per-pixel velocity cloud.
 
@@ -75,8 +75,8 @@ def construct_scene_flow(
       cam: left pinhole model.
       dt: scalar seconds between the two frames.
       dynamic_flow_diff: scalar pixel threshold (cfg default 5).
-      dynamic_depth_rate: scalar m/s threshold for the depth-rate dynamic
-        test (SceneFlowConfig.dynamic_depth_rate; 0 = off = exact
+      dynamic_disparity_rate: scalar m/s threshold for the depth-rate dynamic
+        test (SceneFlowConfig.dynamic_disparity_rate; 0 = off = exact
         reference parity). When > 0 a pixel is ALSO dynamic if its scene
         flow's |vz| >= the threshold — closing the flow gate's blind spot
         for objects approaching along the optical axis, whose disparity
@@ -104,7 +104,7 @@ def construct_scene_flow(
 
         params = pack_params(
             cam, disparity_now, disparity_previous, transform_prev2now,
-            dt, dynamic_flow_diff, dynamic_depth_rate,
+            dt, dynamic_flow_diff, dynamic_disparity_rate,
         )
         points, velocity, static_flow = scene_flow_fused_pallas(
             disparity_now.disparity,
@@ -208,9 +208,19 @@ def construct_scene_flow(
     is_dynamic = diff_norm >= dynamic_flow_diff  # NaN compares False: static
 
     vel = (points_now - prev_pts) / dt
-    # Depth-rate test (off at rate 0; NaN |vz| compares False -> static).
-    rate = jnp.asarray(dynamic_depth_rate, jnp.float32)
-    is_dynamic = is_dynamic | ((rate > 0.0) & (jnp.abs(vel[..., 2]) >= rate))
+    # Disparity-rate test (off at rate 0; NaN compares False -> static):
+    # |measured disparity - disparity predicted from the ego-transformed
+    # previous point| per second. Disparity units keep the gate's noise
+    # floor depth-uniform — an absolute m/s |vz| gate phantoms on far
+    # background where vz noise grows as z^2 (SceneFlowConfig docstring).
+    rate = jnp.asarray(dynamic_disparity_rate, jnp.float32)
+    qz = prev_pts[..., 2]
+    d_pred = jnp.where(
+        qz > 0.0, disparity_now.f * disparity_now.t / jnp.maximum(qz, 1e-6),
+        jnp.nan,
+    )
+    ddot = jnp.abs(d_now - d_pred) / dt
+    is_dynamic = is_dynamic | ((rate > 0.0) & (ddot >= rate))
     vel = jnp.where(is_dynamic[..., None], vel, 0.0)
     velocity = jnp.where(have_velocity[..., None], vel, jnp.nan)
 

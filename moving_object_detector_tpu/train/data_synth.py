@@ -247,8 +247,28 @@ def _rect_mask(xy, center, radii, angle, soft: float = 1.0):
     return jax.nn.sigmoid((1.0 - d) * radii.min() / soft)
 
 
+def _colorize(key, gray):
+    """(h, w) gray -> (h, w, 3) RGB: a random global tint plus two smooth
+    spatial chroma fields. The committed texture banks are grayscale-only,
+    so RGB training data carries SYNTHETIC chroma — enough to teach the
+    net to exploit chroma contrast for matching (two same-luma regions
+    become distinguishable), though real-color validation remains blocked
+    on real RGB imagery."""
+    h, w = gray.shape
+    kt, ks1, ks2 = jax.random.split(key, 3)
+    tint = jax.random.uniform(kt, (3,), minval=0.75, maxval=1.25)
+    m_r = _octave_texture(ks1, h, w, octaves=3)
+    m_b = _octave_texture(ks2, h, w, octaves=3)
+    mod = jnp.stack(
+        [1.0 + 0.3 * (m_r - 0.5), jnp.ones_like(gray),
+         1.0 + 0.3 * (m_b - 0.5)],
+        axis=-1,
+    )
+    return jnp.clip(gray[..., None] * tint * mod, 0.0, 1.0)
+
+
 @partial(jax.jit, static_argnames=(
-    "h", "w", "n_objects", "real_frac", "local_motion_frac"))
+    "h", "w", "n_objects", "real_frac", "local_motion_frac", "channels"))
 def generate_pair(
     key,
     h: int,
@@ -258,10 +278,13 @@ def generate_pair(
     bg_max_shift: float = 10.0,
     real_frac: float = 0.0,
     local_motion_frac: float = 0.0,
+    channels: int = 1,
 ):
     """One (img1, img2, flow) training example, all on device.
 
-    img*: (h, w, 1) f32 in [0, 1]; flow: (h, w, 2) forward flow in pixels.
+    img*: (h, w, channels) f32 in [0, 1]; flow: (h, w, 2) forward flow in
+    pixels. channels=3 colorizes every texture with synthetic chroma
+    (_colorize) for RGB flow-net training (FlowNetConfig.in_channels=3).
 
     ``local_motion_frac``: fraction of samples drawn from the LOCAL-MOTION
     regime — a near-static background with guaranteed-moving objects, half
@@ -314,6 +337,10 @@ def generate_pair(
 
     # --- background layer ---
     bg_tex = _any_texture(keys[0], h, w, real_frac)
+    bg_tex = (
+        _colorize(jax.random.fold_in(keys[0], 17), bg_tex)
+        if channels == 3 else bg_tex[..., None]
+    )
     bg_lin, bg_trans = _rand_affine(
         keys[1], h, w, bg_mag * bg_max_shift, bg_mag * 0.05, bg_mag * 0.05
     )
@@ -326,13 +353,17 @@ def generate_pair(
     # (phi^-1(y) - y), which is exactly the warp layer's contract.
     inv_lin, inv_trans = _invert_affine(bg_lin, bg_trans)
     bg_back = _apply_affine(inv_lin, inv_trans, xy) - xy
-    img2 = flow_ops.warp(bg_tex[None, :, :, None], bg_back[None])[0, :, :, 0]
+    img2 = flow_ops.warp(bg_tex[None], bg_back[None])[0]
 
     # --- object layers (later objects composite on top) ---
     min_dim = min(h, w)
     for i in range(n_objects):
         kt, kp, km = keys[5 + 3 * i : 8 + 3 * i]
         tex = _any_texture(kt, h, w, real_frac)
+        tex = (
+            _colorize(jax.random.fold_in(kt, 17), tex)
+            if channels == 3 else tex[..., None]
+        )
         lin, trans = _rand_affine(
             kp, h, w, obj_mag * max_shift, obj_mag * 0.3, obj_mag * 0.15
         )
@@ -378,7 +409,7 @@ def generate_pair(
         m1 = _mask(xy)  # mask in img1
         obj_flow = _apply_affine(lin, trans, xy) - xy
 
-        img1 = m1 * tex + (1.0 - m1) * img1
+        img1 = m1[..., None] * tex + (1.0 - m1[..., None]) * img1
         flow = m1[..., None] * obj_flow + (1.0 - m1[..., None]) * flow
 
         # In img2 the object (texture AND mask) lives at phi(object):
@@ -386,24 +417,27 @@ def generate_pair(
         ilin, itrans = _invert_affine(lin, trans)
         src = _apply_affine(ilin, itrans, xy)
         m2 = _mask(src)
-        tex2 = flow_ops.warp(
-            tex[None, :, :, None], (src - xy)[None]
-        )[0, :, :, 0]
-        img2 = m2 * tex2 + (1.0 - m2) * img2
+        tex2 = flow_ops.warp(tex[None], (src - xy)[None])[0]
+        img2 = m2[..., None] * tex2 + (1.0 - m2[..., None]) * img2
 
     # --- photometric jitter + sensor noise (robustness) ---
     jk1, jk2 = jax.random.split(keys[2])
     gain = jax.random.uniform(jk1, (), minval=0.85, maxval=1.15)
     bias = jax.random.uniform(jk2, (), minval=-0.08, maxval=0.08)
-    noise = 0.015 * jax.random.normal(keys[3], (h, w, 2))
-    img2 = jnp.clip(img2 * gain + bias + noise[..., 1], 0.0, 1.0)
-    img1 = jnp.clip(img1 + noise[..., 0], 0.0, 1.0)
+    if channels == 1:
+        # Shape kept exactly as the v5-era generator: same key -> same
+        # noise bits (training streams stay reproducible across versions).
+        noise = 0.015 * jax.random.normal(keys[3], (h, w, 2))[..., None]
+    else:
+        noise = 0.015 * jax.random.normal(keys[3], (h, w, 2, channels))
+    img2 = jnp.clip(img2 * gain + bias + noise[..., 1, :], 0.0, 1.0)
+    img1 = jnp.clip(img1 + noise[..., 0, :], 0.0, 1.0)
 
-    return img1[..., None], img2[..., None], flow
+    return img1, img2, flow
 
 
 @partial(jax.jit, static_argnames=(
-    "h", "w", "n_objects", "real_frac", "local_motion_frac"))
+    "h", "w", "n_objects", "real_frac", "local_motion_frac", "channels"))
 def generate_pair_scale2(
     key,
     h: int,
@@ -413,6 +447,7 @@ def generate_pair_scale2(
     bg_max_shift: float = 10.0,
     real_frac: float = 0.0,
     local_motion_frac: float = 0.0,
+    channels: int = 1,
 ):
     """One example matching the ``flow_input_scale=2`` SERVING distribution
     (pipeline._flow_forward): generate the scene at (2h, 2w) with doubled
@@ -428,10 +463,10 @@ def generate_pair_scale2(
     curricula compose unchanged with generate_pair."""
     img1, img2, flow = generate_pair(
         key, 2 * h, 2 * w, n_objects, 2.0 * max_shift, 2.0 * bg_max_shift,
-        real_frac, local_motion_frac,
+        real_frac, local_motion_frac, channels,
     )
-    img1 = jax.image.resize(img1[..., 0], (h, w), "bilinear")[..., None]
-    img2 = jax.image.resize(img2[..., 0], (h, w), "bilinear")[..., None]
+    img1 = jax.image.resize(img1, (h, w, channels), "bilinear")
+    img2 = jax.image.resize(img2, (h, w, channels), "bilinear")
     flow = jax.image.resize(flow, (h, w, 2), "bilinear") * 0.5
     return img1, img2, flow
 
@@ -440,7 +475,7 @@ def generate_pair_scale2(
     jax.jit,
     static_argnames=(
         "batch", "h", "w", "n_objects", "downsample_frac", "real_frac",
-        "local_motion_frac",
+        "local_motion_frac", "channels",
     ),
 )
 def generate_batch(
@@ -454,6 +489,7 @@ def generate_batch(
     downsample_frac: float = 0.0,
     real_frac: float = 0.0,
     local_motion_frac: float = 0.0,
+    channels: int = 1,
 ):
     """dict(img1, img2, flow) with a leading batch axis, generated on
     device — drop-in for the training loop's batch source. ``max_shift`` /
@@ -470,7 +506,7 @@ def generate_batch(
             jax.vmap(
                 lambda k: generate_pair(
                     k, h, w, n_objects, max_shift, bg_max_shift, real_frac,
-                    local_motion_frac,
+                    local_motion_frac, channels,
                 )
             )(keys[: batch - n_ds])
         )
@@ -479,7 +515,7 @@ def generate_batch(
             jax.vmap(
                 lambda k: generate_pair_scale2(
                     k, h, w, n_objects, max_shift, bg_max_shift, real_frac,
-                    local_motion_frac,
+                    local_motion_frac, channels,
                 )
             )(keys[batch - n_ds:])
         )

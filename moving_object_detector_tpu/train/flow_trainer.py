@@ -37,7 +37,8 @@ def create_train_state(
     """``total_steps`` switches the constant LR to linear-warmup + cosine
     decay (the schedule shape of the original PWC-Net training recipe)."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    dummy = jnp.zeros((1, height, width, 1), jnp.float32)
+    c = getattr(model.config, "in_channels", 1)
+    dummy = jnp.zeros((1, height, width, c), jnp.float32)
     params = model.init(key, dummy, dummy)
     if total_steps is not None:
         lr = optax.warmup_cosine_decay_schedule(
@@ -226,6 +227,7 @@ def make_chunked_train_step(
             k, batch, height, width, n_objects, max_shift, bg_max_shift,
             downsample_frac=downsample_frac, real_frac=real_frac,
             local_motion_frac=local_motion_frac,
+            channels=getattr(model.config, "in_channels", 1),
         )
         data = jax.lax.with_sharding_constraint(
             data, {n: batch_sh for n in data}

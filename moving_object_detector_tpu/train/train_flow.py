@@ -86,6 +86,10 @@ def build_parser():
                         "(slim variants, PLAN_NEXT item 2)")
     p.add_argument("--context-channels", default=None,
                    help="comma ints: ContextNetwork widths")
+    p.add_argument("--color", action="store_true",
+                   help="train a 3-channel (RGB) net on colorized "
+                        "synthetic data (FlowNetConfig.in_channels=3; "
+                        "PipelineConfig.color serving path)")
     p.add_argument("--tiny", action="store_true",
                    help="small network for smoke runs")
     return p
@@ -113,6 +117,10 @@ def main(argv=None) -> int:
         if args.tiny
         else FlowNetConfig()
     )
+    if args.color:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, in_channels=3)
     if args.estimator_channels:
         import dataclasses
 

@@ -30,7 +30,7 @@ class Tunables:
     """Hot-reloadable scalars (all 0-d f32/i32 arrays, traced under jit)."""
 
     dynamic_flow_diff: jnp.ndarray  # px (SceneFlowConstructor.cfg:8)
-    dynamic_depth_rate: jnp.ndarray  # m/s, 0 = off (SceneFlowConfig)
+    dynamic_disparity_rate: jnp.ndarray  # px/s, 0 = off (SceneFlowConfig)
     max_color_velocity: jnp.ndarray  # m/s, visualization scaling (cfg:9)
     cluster_size: jnp.ndarray  # px (Clusterer.cfg:8)
     depth_diff: jnp.ndarray  # m (Clusterer.cfg:9)
@@ -45,7 +45,7 @@ class Tunables:
         f32 = lambda v: jnp.asarray(v, jnp.float32)
         return cls(
             dynamic_flow_diff=f32(config.scene_flow.dynamic_flow_diff),
-            dynamic_depth_rate=f32(config.scene_flow.dynamic_depth_rate),
+            dynamic_disparity_rate=f32(config.scene_flow.dynamic_disparity_rate),
             max_color_velocity=f32(config.scene_flow.max_color_velocity),
             cluster_size=jnp.asarray(config.clusterer.cluster_size, jnp.int32),
             depth_diff=f32(config.clusterer.depth_diff),

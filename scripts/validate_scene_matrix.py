@@ -32,10 +32,11 @@ def main():
     # unserved resolution.
     ap.add_argument("--scale", type=int, default=1, choices=[1, 2])
     ap.add_argument("--vel-gate", type=float, default=1.4)
-    ap.add_argument("--depth-rate", type=float, default=0.0,
-                    help="SceneFlowConfig.dynamic_depth_rate (m/s; 0 = "
-                         "off). The approach scene needs > 0 to be "
-                         "detectable at all (flow-gate blind spot).")
+    ap.add_argument("--disparity-rate", type=float, default=0.0,
+                    help="SceneFlowConfig.dynamic_disparity_rate (px/s; 0 "
+                         "= off). The approach scene needs > 0 to be "
+                         "detectable at all (flow-gate blind spot); 3.0 "
+                         "is the validated operating point.")
     ap.add_argument("--scenes", default=None,
                     help="comma-separated subset (default: all)")
     args = ap.parse_args()
@@ -74,7 +75,7 @@ def main():
         m = evaluate_planar_sequence(
             seq, params, model,
             flow_input_scale=args.scale, sgm_input_scale=args.scale,
-            dynamic_depth_rate=args.depth_rate,
+            dynamic_disparity_rate=args.disparity_rate,
             details=True,
         )
         # Per-object hit fractions over the frames where that object was

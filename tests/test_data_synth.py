@@ -246,3 +246,32 @@ def test_flow_loss_motion_contrast_zero_is_uniform():
     # And a nonzero strength changes the loss but not the reported EPE.
     l2, e2 = flow_loss(model, params, img1, img2, gt, motion_contrast=4.0)
     assert float(e2) == float(e0)
+
+
+def test_rgb_generation_same_geometry_as_gray():
+    """channels=3 colorizes textures but must not change the scene
+    GEOMETRY: same key -> identical ground-truth flow, (h, w, 3) images in
+    range, and per-channel content that actually differs (real chroma)."""
+    from moving_object_detector_tpu.train.data_synth import generate_pair
+
+    key = jax.random.PRNGKey(12)
+    g1, g2, gflow = generate_pair(key, 48, 64, local_motion_frac=0.5)
+    c1, c2, cflow = generate_pair(key, 48, 64, local_motion_frac=0.5,
+                                  channels=3)
+    assert g1.shape == (48, 64, 1) and c1.shape == (48, 64, 3)
+    np.testing.assert_array_equal(np.asarray(gflow), np.asarray(cflow))
+    for img in (c1, c2):
+        arr = np.asarray(img)
+        assert arr.min() >= 0.0 and arr.max() <= 1.0
+        # chroma present: channels differ somewhere
+        assert np.abs(arr[..., 0] - arr[..., 2]).max() > 0.01
+
+
+def test_rgb_batch_with_downsample_mix():
+    from moving_object_detector_tpu.train.data_synth import generate_batch
+
+    data = generate_batch(jax.random.PRNGKey(3), 4, 32, 64,
+                          downsample_frac=0.5, channels=3)
+    assert data["img1"].shape == (4, 32, 64, 3)
+    assert data["flow"].shape == (4, 32, 64, 2)
+    assert np.isfinite(np.asarray(data["img1"])).all()

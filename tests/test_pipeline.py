@@ -592,3 +592,135 @@ def test_end_to_end_cc_crop_parity():
             ),
         ):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_color_frames_luma_parity_with_gray_pipeline():
+    """(H, W, 3) frames through a 1-channel-weights pipeline must equal
+    the (H, W) luma pipeline BITWISE: SGM/ego always see luma (reference
+    MONO8 split, scene_flow_constructor.cpp:220-221) and the channel
+    adapter collapses the flow input identically."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moving_object_detector_tpu.config import (
+        EgoMotionConfig, FlowNetConfig, PipelineConfig, SGMConfig,
+    )
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet, init_pwc_params,
+    )
+    from moving_object_detector_tpu.pipeline import (
+        PipelineState, detect_step, luma,
+    )
+    from moving_object_detector_tpu.types import StereoModel
+
+    h, w = 64, 96
+    config = PipelineConfig(
+        height=h, width=w,
+        flownet=FlowNetConfig(feature_channels=(8, 16, 32), search_range=2,
+                              use_context_net=False, dtype="float32"),
+        sgm=SGMConfig(max_disparity=16, backend="xla"),
+        egomotion=EgoMotionConfig(max_features=64, nms_radius=2,
+                                  ransac_hypotheses=8, lk_pyramid_levels=1,
+                                  min_inliers=4),
+    )
+    stereo = StereoModel.create(fx=100.0, fy=100.0, cx=w / 2, cy=h / 2,
+                                baseline=0.5)
+    model = PWCNet(config=config.flownet)
+    params = init_pwc_params(model, h, w, jax.random.PRNGKey(0))
+
+    rgb_l = jax.random.uniform(jax.random.PRNGKey(1), (h, w, 3))
+    rgb_r = jnp.roll(rgb_l, -4, axis=1)
+
+    cfg_color = _dc.replace(config, color=True)
+    st_c = PipelineState.create(cfg_color)
+    st_g = PipelineState.create(config)
+    for t in (0.1, 0.2):
+        st_c, out_c = detect_step(params, st_c, rgb_l, rgb_r,
+                                  jnp.float32(t), stereo, cfg_color,
+                                  flow_model=model)
+        st_g, out_g = detect_step(params, st_g, luma(rgb_l), luma(rgb_r),
+                                  jnp.float32(t), stereo, config,
+                                  flow_model=model)
+    # Not bitwise: the color path computes luma INSIDE the jitted step
+    # where XLA may contract the multiply-adds to FMAs, while the gray
+    # reference computes it eagerly outside — a ~1-ulp input difference
+    # the flow net amplifies slightly. Tight tolerances still pin the
+    # semantic parity (same luma, same stages).
+    np.testing.assert_allclose(np.asarray(out_c.disparity.disparity),
+                               np.asarray(out_g.disparity.disparity),
+                               atol=0.26)  # subpixel census ties only
+    np.testing.assert_allclose(np.asarray(out_c.flow),
+                               np.asarray(out_g.flow), atol=2e-3)
+    vc = np.asarray(out_c.scene_flow.velocity)
+    vg = np.asarray(out_g.scene_flow.velocity)
+    np.testing.assert_array_equal(np.isnan(vc), np.isnan(vg))
+    np.testing.assert_allclose(vc[np.isfinite(vc)], vg[np.isfinite(vg)],
+                               atol=0.05)
+    assert st_c.prev_left.shape == (h, w, 3)
+
+
+def test_rgb_flow_net_end_to_end():
+    """A 3-channel flow net (FlowNetConfig.in_channels=3) initializes,
+    round-trips through the npz checkpoint format with in_channels
+    inferred back from kernel shapes, and serves color frames in the
+    pipeline."""
+    import dataclasses as _dc
+    import os
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moving_object_detector_tpu.config import (
+        EgoMotionConfig, FlowNetConfig, PipelineConfig, SGMConfig,
+    )
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet, infer_flow_config, init_pwc_params,
+    )
+    from moving_object_detector_tpu.pipeline import PipelineState, detect_step
+    from moving_object_detector_tpu.types import StereoModel
+    from moving_object_detector_tpu.utils.checkpoint import (
+        load_flow_checkpoint, save_flow_params_npz,
+    )
+
+    h, w = 64, 96
+    fcfg = FlowNetConfig(feature_channels=(8, 16, 32), search_range=2,
+                         use_context_net=False, dtype="float32",
+                         in_channels=3)
+    model = PWCNet(config=fcfg)
+    params = init_pwc_params(model, h, w, jax.random.PRNGKey(0))
+    first = params["params"]["FeaturePyramid_0"]["ConvBlock_0"]["Conv_0"][
+        "kernel"]
+    assert first.shape[-2] == 3
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "rgb.fp16.npz")
+        save_flow_params_npz(path, jax.device_get(params))
+        base = FlowNetConfig(feature_channels=(8, 16, 32), search_range=2,
+                             use_context_net=False, dtype="float32")
+        loaded, cfg2 = load_flow_checkpoint(path, base)
+    assert cfg2.in_channels == 3
+
+    config = PipelineConfig(
+        height=h, width=w, color=True, flownet=cfg2,
+        sgm=SGMConfig(max_disparity=16, backend="xla"),
+        egomotion=EgoMotionConfig(max_features=64, nms_radius=2,
+                                  ransac_hypotheses=8, lk_pyramid_levels=1,
+                                  min_inliers=4),
+    )
+    stereo = StereoModel.create(fx=100.0, fy=100.0, cx=w / 2, cy=h / 2,
+                                baseline=0.5)
+    model2 = PWCNet(config=cfg2)
+    rgb_l = jax.random.uniform(jax.random.PRNGKey(1), (h, w, 3))
+    rgb_r = jnp.roll(rgb_l, -4, axis=1)
+    st = PipelineState.create(config)
+    for t in (0.1, 0.2):
+        st, out = detect_step(loaded, st, rgb_l, rgb_r, jnp.float32(t),
+                              stereo, config, flow_model=model2)
+    assert out.flow.shape == (h, w, 2)
+    assert np.isfinite(np.asarray(out.flow)).all()
+    assert bool(np.asarray(out.frame_valid))

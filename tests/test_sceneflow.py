@@ -148,11 +148,12 @@ def test_static_flow_matches_ego_motion():
     np.testing.assert_allclose(static[..., 1], 0.0, atol=1e-3)
 
 
-def test_depth_rate_gate_flags_approaching_plane():
+def test_disparity_rate_gate_flags_approaching_plane():
     """An object approaching along the optical axis produces ~zero image
     flow but a real disparity change. The 2D flow gate misses it entirely
     (reference blind spot, scene_flow_constructor.cpp:196-198); with
-    dynamic_depth_rate > 0 the z-velocity flags it at EVERY pixel."""
+    dynamic_disparity_rate > 0 the disparity change (here |10.42 - 10| /
+    0.1 s ~ 4.2 px/s) flags it at EVERY pixel."""
     z_prev, z_now = 5.0, 4.8  # approaching: 2 m/s at dt=0.1
     d_prev = flat_disparity(F * B / z_prev)
     d_now = flat_disparity(F * B / z_now)
@@ -172,20 +173,20 @@ def test_depth_rate_gate_flags_approaching_plane():
     assert ok0.mean() > 0.5
     np.testing.assert_allclose(vel0[ok0], 0.0, atol=1e-5)
 
-    # Depth-rate gate at 1.0 m/s: |vz| = 2 m/s flags every valid pixel.
+    # Gate at 2 px/s: the ~4.2 px/s change flags every valid pixel.
     cloud1, _ = sceneflow.construct_scene_flow(
         pts_now, pts_prev, flow, d_now, d_prev, CAM, dt, jnp.float32(5.0),
-        dynamic_depth_rate=jnp.float32(1.0),
+        dynamic_disparity_rate=jnp.float32(2.0),
     )
     vel1 = np.asarray(cloud1.velocity)
     ok1 = np.isfinite(vel1[..., 0])
     np.testing.assert_array_equal(ok1, ok0)
     np.testing.assert_allclose(vel1[ok1][..., 2], -2.0, atol=1e-3)
 
-    # A sub-threshold depth rate stays static (no noise amplification).
+    # A sub-threshold disparity rate stays static (no noise amplification).
     cloud2, _ = sceneflow.construct_scene_flow(
         pts_now, pts_prev, flow, d_now, d_prev, CAM, dt, jnp.float32(5.0),
-        dynamic_depth_rate=jnp.float32(3.0),
+        dynamic_disparity_rate=jnp.float32(8.0),
     )
     vel2 = np.asarray(cloud2.velocity)
     np.testing.assert_allclose(vel2[np.isfinite(vel2[..., 0])], 0.0,

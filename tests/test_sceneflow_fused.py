@@ -107,10 +107,10 @@ def test_fused_out_of_window_degrades_to_nan():
     _assert_parity(out_f, out_p)
 
 
-def test_fused_depth_rate_parity():
-    """dynamic_depth_rate must behave identically in the fused kernel and
-    the composite path (random scene with real disparity differences, so
-    some pixels cross the 0.5 m/s depth-rate gate and others do not)."""
+def test_fused_disparity_rate_parity():
+    """dynamic_disparity_rate must behave identically in the fused kernel
+    and the composite path (random scene with real disparity differences,
+    so some pixels cross the 100 px/s gate and others do not)."""
     stereo, disp_now, disp_prev, flow, t = _scene(24, 132, seed=7,
                                                   motion=True)
 
@@ -126,7 +126,7 @@ def test_fused_depth_rate_parity():
         return construct_scene_flow(
             pts_now, pts_prev, flow, disp_now, disp_prev, stereo.cam,
             jnp.float32(0.1), jnp.float32(5.0), transform_prev2now=t,
-            config=cfg, dynamic_depth_rate=jnp.float32(0.5),
+            config=cfg, dynamic_disparity_rate=jnp.float32(100.0),
         )
 
     _assert_parity(run("fused_interpret"), run("pallas_interpret"))
