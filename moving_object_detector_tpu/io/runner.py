@@ -42,6 +42,10 @@ class FrameResult:
     tracks: dict
     ego_success: bool
     frame_valid: bool
+    # Capacity observability (pipeline.FrameOutput): size-passing clusters
+    # dropped beyond max_objects / track bank full after this frame.
+    cluster_overflow: int = 0
+    tracker_saturated: bool = False
 
 
 class _RunToken:
@@ -293,7 +297,20 @@ class PipelineRunner:
                 },
                 ego_success=bool(out.ego_success),
                 frame_valid=bool(out.frame_valid),
+                cluster_overflow=int(np.asarray(out.cluster_overflow)),
+                tracker_saturated=bool(np.asarray(out.tracker_saturated)),
             )
+            if result.cluster_overflow or result.tracker_saturated:
+                import sys as _sys
+
+                print(
+                    f"WARNING frame {index}: capacity saturated "
+                    f"(clusters dropped={result.cluster_overflow}, "
+                    f"track bank full={result.tracker_saturated}) — "
+                    f"raise ClustererConfig.max_objects / "
+                    f"TrackerConfig.max_tracks",
+                    file=_sys.stderr,
+                )
         if self.export_dir and index % self.export_every == 0:
             with self.timer.stage("export"):
                 self._export(index, out)

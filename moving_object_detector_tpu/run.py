@@ -276,6 +276,11 @@ def main(argv=None) -> int:
                     "time": round(r.time, 4),
                     "valid": r.frame_valid,
                     "ego": r.ego_success,
+                    # capacity observability; omitted when clean
+                    **({"cluster_overflow": r.cluster_overflow}
+                       if r.cluster_overflow else {}),
+                    **({"tracker_saturated": True}
+                       if r.tracker_saturated else {}),
                     "detections": [
                         {
                             "id": int(i),

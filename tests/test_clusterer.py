@@ -215,7 +215,7 @@ def test_quiet_early_out_matches_full_path():
     obj_fast, lab_fast = cluster_scene_flow(cloud, CFG)
 
     vnorm = jnp.sqrt(jnp.sum(cloud.velocity**2, axis=-1))
-    obj_full, lab_full = _cluster_dynamic(
+    obj_full, lab_full, _ = _cluster_dynamic(
         cloud, cloud.velocity, vnorm,
         vnorm >= jnp.float32(CFG.dynamic_speed),
         config=CFG,
@@ -349,3 +349,36 @@ def test_crop_fast_path_pallas_interpret():
     )
     assert np.asarray(full[0].valid).sum() == 1
     _assert_same_result(full, crop)
+
+
+def test_cluster_overflow_counter():
+    """Size-passing clusters beyond max_objects are dropped (fixed
+    capacity); return_overflow=True must report exactly how many, and 0
+    when everything fits or the frame is quiet."""
+    pts, vel = make_cloud()
+    for i, x0 in enumerate((2, 12, 22)):
+        fill_block(pts, vel, 4, 10, x0, x0 + 7, z=2.0 + i,
+                   v=[1.0, 0.0, 0.0])
+    cloud = SceneFlowCloud(points=jnp.asarray(pts), velocity=jnp.asarray(vel))
+
+    cfg2 = dataclasses.replace(CFG, max_objects=2)
+    objects, _, overflow = cluster_scene_flow(cloud, cfg2,
+                                              return_overflow=True)
+    assert int(np.asarray(objects.valid).sum()) == 2
+    assert int(overflow) == 1
+
+    objects, _, overflow = cluster_scene_flow(cloud, CFG,
+                                              return_overflow=True)
+    assert int(np.asarray(objects.valid).sum()) == 3
+    assert int(overflow) == 0
+
+    quiet = SceneFlowCloud(
+        points=jnp.asarray(pts),
+        velocity=jnp.zeros_like(jnp.asarray(vel)),
+    )
+    _, _, overflow = cluster_scene_flow(quiet, cfg2, return_overflow=True)
+    assert int(overflow) == 0
+
+    # Default signature unchanged: two elements.
+    out = cluster_scene_flow(cloud, cfg2)
+    assert len(out) == 2
