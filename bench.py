@@ -211,8 +211,16 @@ def main(argv=None):
             height=h, width=w + pan * n_q, obj_speed_px=0.0, n_frames=1
         )
         fl, fr, _, _ = seq.frame(0)
-        lefts = [fl[:, k * pan : k * pan + w] for k in range(n_q)]
-        rights = [fr[:, k * pan : k * pan + w] for k in range(n_q)]
+        # ZIGZAG pan (0,1,2,3,2,1 crops -> steps always +-2 px): a plain
+        # forward pan ring jumped BACKWARD by n_q*pan px at the wrap
+        # frame — a synthetic artifact no real camera produces that fired
+        # thousands of false dynamic pixels on 1 of every n_q "quiet"
+        # frames (measured 2026-08-21: 17k px with pwc_v5, 5.6k with
+        # pwc_v6m3, one spurious detection each wrap). Every ring frame
+        # stays distinct (no loop-invariant hoisting).
+        order = list(range(n_q)) + list(range(n_q - 2, 0, -1))
+        lefts = [fl[:, k * pan : k * pan + w] for k in order]
+        rights = [fr[:, k * pan : k * pan + w] for k in order]
         left_ring = jnp.asarray(np.stack(lefts).astype(np.float32))
         right_ring = jnp.asarray(np.stack(rights).astype(np.float32))
     n_ring = left_ring.shape[0]

@@ -53,6 +53,35 @@ def detect_step_batched(
     optional overrides carry externally computed per-stream perception
     results — e.g. the spatially sharded SGM/flow kernels
     (parallel/spatial.py detect_step_streams_spatial)."""
+    import dataclasses
+
+    # Pin every Pallas kernel to its XLA oracle form under vmap: (a) the
+    # Pallas CC kernel's traced SMEM scalars (cc_scan_span /
+    # neighbor_distance) don't lower when vmap batches them to (N, 1)
+    # blocks, and (b) vmapped Pallas stages measured SLOWER than XLA
+    # from the start (PLAN_NEXT "known dead ends": single-chip
+    # --streams 2 at 62.2 vs 73.3 pairs/s) and have since become
+    # pathological (2026-08-21: 483 ms/frame). Multi-chip shards streams
+    # one-per-chip instead (detect_step_streams_spatial), where the
+    # kernels run unbatched — this vmapped form is the single-chip
+    # fallback only.
+    repl = {}
+    if config.clusterer.cc_backend == "auto":
+        repl["clusterer"] = dataclasses.replace(
+            config.clusterer, cc_backend="xla"
+        )
+    if config.sgm.backend == "auto":
+        repl["sgm"] = dataclasses.replace(config.sgm, backend="xla")
+    if config.scene_flow.gather_backend == "auto":
+        repl["scene_flow"] = dataclasses.replace(
+            config.scene_flow, gather_backend="xla"
+        )
+    if config.flownet.corr_backend == "auto":
+        repl["flownet"] = dataclasses.replace(
+            config.flownet, corr_backend="xla"
+        )
+    if repl:
+        config = dataclasses.replace(config, **repl)
 
     def one(state, left, right, t, flow_override, disparity_override):
         return detect_step(

@@ -69,7 +69,7 @@ def default_flow_checkpoint() -> str | None:
     explicit-path fallbacks only."""
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    for name in ("pwc_v5.fp16.npz", "pwc_v4e.fp16.npz",
+    for name in ("pwc_v6m3.fp16.npz", "pwc_v5.fp16.npz", "pwc_v4e.fp16.npz",
                  "pwc_v4.fp16.npz", "pwc_v2.fp16.npz"):
         path = os.path.join(root, "weights", name)
         if os.path.exists(path):
@@ -89,6 +89,20 @@ _SCALE2_GATED_BASENAMES = frozenset({
     "pwc_v5.fp16.npz",    # train_flow_v5.sh, gates PASS 2026-08-19:
                           # 384x896 scale-2 EPE 2.06, detection 6/7,
                           # 0 phantoms, vel err 0.287
+    "pwc_v6m3.fp16.npz",  # stage M3 (local-motion curriculum +
+                          # boundary-symmetric motion-contrast 6,
+                          # downsample-frac 0.5), gates PASS 2026-08-21
+                          # measured on THIS exported file: 384x896
+                          # scale-2 EPE 2.06 (gate <4.5); serving
+                          # detection (flow2+sgm2) 7/7, 0 phantoms, vel
+                          # err 0.263; scale-2 scene matrix vel 0.407/
+                          # 0.496/0.551 on lateral/multi/occlusion (v5:
+                          # 0.488/0.862/1.059). Caveat (documented in
+                          # docs/performance.md): 1-4 single-frame
+                          # background-depth phantom detections across
+                          # the lateral/rotating matrix scenes that the
+                          # tracker's correction_count_limit=3 filters
+                          # from published tracks.
 })
 
 

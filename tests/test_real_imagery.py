@@ -29,7 +29,12 @@ H, W = 192, 448
 # over the 5 px gate / median 6.0 px on china.jpg; known-shift EPE 6.8 —
 # the flow tests xfail for such weights and become hard gates the moment
 # a real-texture-trained default lands.
-_REAL_TEXTURE_TRAINED = frozenset({"pwc_v5.fp16.npz"})
+_REAL_TEXTURE_TRAINED = frozenset({
+    "pwc_v5.fp16.npz",
+    "pwc_v6m3.fp16.npz",  # measured 2026-08-21 on the exported file:
+                          # static spurious 0.0% >5px on all 6 photos
+                          # (median <= 0.25 px), shift-6 EPE <= 1.10
+})
 
 
 def _xfail_unless_real_trained():
@@ -244,12 +249,19 @@ def test_end_to_end_real_texture_detection(flow_net):
     assert hits >= 0.6 * scored, f"object detected {hits}/{scored} frames"
 
 
-# Weight versions trained with the local-motion regime
-# (train/data_synth.py local_motion_frac > 0, scripts/train_flow_v6.sh).
-# pwc_v5 measured 2026-08-20 (paste probes): net 8.1 px on a 10 px pasted
-# rectangle, 3.9 on 6, 14.0 on 16 — a ~2 px systematic under-tracking of
-# locally-moving objects that halves end-to-end velocity estimates.
-_LOCAL_MOTION_TRAINED = frozenset({"pwc_v6m2.fp16.npz"})
+# Weight versions that pass the paste-probe gate below (< 1.5 px mean at
+# shifts 6/10/16). EMPTY as of 2026-08-21 — the v6 line improved the
+# probe (pwc_v5 2.08/2.30/2.22 -> pwc_v6m3 1.00/1.92/2.39 at 6/10/16)
+# but three motion-contrast/curriculum stages plateaued above the gate
+# at 10/16. Measured structure (column error profiles): the residual is
+# concentrated on the OCCLUDING (leading) half of the object, whose
+# pixels' true matches disappear behind the leading edge — the
+# disoccluding half tracks at ~0.5 px. The end-to-end velocity gates
+# (validate_detection_quality 0.263-0.336 m/s, scene-matrix vel <= 0.55
+# at both scales) pass because the clusterer's median velocity is robust
+# to the occluding-side band. Add a basename ONLY when the probe passes
+# on that exact file.
+_LOCAL_MOTION_TRAINED = frozenset()
 
 
 def test_flow_local_object_motion(flow_net):
