@@ -103,6 +103,17 @@ _SCALE2_GATED_BASENAMES = frozenset({
                           # the lateral/rotating matrix scenes that the
                           # tracker's correction_count_limit=3 filters
                           # from published tracks.
+    "pwc_p1.fp16.npz",    # structured-pruned pwc_v6m3 (est 96,96,72,
+                          # 48,24 / ctx 96,96,96,72,48,24 = 69.9%
+                          # params, scripts/prune_finetune.sh) + 4000-
+                          # step recovery finetune. Gates PASS
+                          # 2026-08-21 on this exported file: 384x896
+                          # scale-2 EPE 2.061 (<4.5); detection 9/9 vel
+                          # 0.392 (scale 1) / 7/7 vel 0.494 (serving),
+                          # 0 phantoms. NOT the default: v6m3 is more
+                          # accurate (serving vel 0.263); p1 is the
+                          # explicit full-res speed option (128.6 vs
+                          # 117.9 pairs/s at flow1+sgm1).
 })
 
 
