@@ -59,15 +59,121 @@ def _keep_indices(scores: np.ndarray, n_keep: int) -> np.ndarray:
     return np.sort(np.argsort(scores)[::-1][:n_keep])
 
 
+def prune_pyramid_params(
+    p: dict[str, np.ndarray],
+    pyramid_channels: tuple[int, ...],
+) -> dict[str, np.ndarray]:
+    """Prune the FeaturePyramid level widths IN PLACE to
+    ``pyramid_channels`` (one target per level), slicing every consumer:
+
+    * the level's two ConvBlocks (block 2l+1's input rows follow block
+      2l's kept outputs) and the next level's stride-2 conv input rows;
+    * the f1 columns of the matching FlowEstimator's input stack — which
+      appear in EVERY dense block, both heads and (at the finest level)
+      the ContextNetwork's first conv, since the dense concat re-exposes
+      the base stack to each consumer;
+    * the correlation renormalization: ``ops.flow_ops.correlation`` takes
+      the MEAN over channels, so dropping c_old - c_new channels scales
+      every corr plane by c_old/c_new even when the dropped channels are
+      all-zero. leaky_relu commutes with a positive scale and the corr
+      planes are consumed only through the estimator base columns, so
+      multiplying those kernel rows by c_new/c_old restores the function
+      exactly (tested in tests/test_prune.py).
+
+    The zero-channel exactness invariant of the module docstring therefore
+    extends to the pyramid; for L1-lowest (non-zero) channels this is the
+    same finetune-init approximation as the estimator path.
+    """
+    fp = "params/FeaturePyramid_0/"
+    n_blocks = 0
+    while f"{fp}ConvBlock_{n_blocks}/Conv_0/kernel" in p:
+        n_blocks += 1
+    levels = n_blocks // 2
+    if len(pyramid_channels) != levels:
+        raise ValueError(
+            f"pyramid target has {len(pyramid_channels)} levels, "
+            f"checkpoint has {levels}"
+        )
+    old_widths = [
+        p[f"{fp}ConvBlock_{2 * l + 1}/Conv_0/kernel"].shape[-1]
+        for l in range(levels)
+    ]
+
+    prev_keep = None  # input-row selection for the next conv in the chain
+    level_keep: dict[int, np.ndarray] = {}
+    for l in range(levels):
+        for j in (2 * l, 2 * l + 1):
+            kk = f"{fp}ConvBlock_{j}/Conv_0/kernel"
+            bk = f"{fp}ConvBlock_{j}/Conv_0/bias"
+            kern, bias = p[kk], p[bk]
+            if prev_keep is not None:
+                kern = kern[..., prev_keep, :]
+            keep = _keep_indices(_l1_scores(kern, bias), pyramid_channels[l])
+            p[kk] = kern[..., keep]
+            p[bk] = bias[keep]
+            prev_keep = keep
+        level_keep[l] = prev_keep
+
+    est_levels = _level_indices(p, "FlowEstimator")
+    finest = max(est_levels) if est_levels else None
+    for i in est_levels:
+        lvl = levels - 1 - i  # estimator 0 sits at the coarsest level
+        keep = level_keep[lvl]
+        old_ch = old_widths[lvl]
+        new_ch = len(keep)
+        pre = f"params/FlowEstimator_{i}/"
+        base_in = p[f"{pre}ConvBlock_0/Conv_0/kernel"].shape[-2]
+        if i == 0:
+            extras = 0  # coarsest input = [corr, f1]
+        else:  # [corr, f1, up_feat, flow]
+            up_ch = p[f"params/FlowEstimator_{i - 1}/Conv_1/kernel"].shape[-1]
+            extras = up_ch + 2
+        corr_dim = base_in - old_ch - extras
+        side = int(round(corr_dim ** 0.5))
+        assert side * side == corr_dim and side % 2 == 1, (
+            f"estimator {i}: corr_dim {corr_dim} is not an odd square "
+            f"(base {base_in}, f1 {old_ch}, extras {extras})"
+        )
+        base_cols = np.concatenate([
+            np.arange(corr_dim),
+            corr_dim + keep,
+            np.arange(corr_dim + old_ch, base_in),
+        ])
+        corr_scale = new_ch / old_ch  # mean-divisor compensation
+
+        def reslice(key: str):
+            kin = p[key].shape[-2]
+            cols = np.concatenate([base_cols, np.arange(base_in, kin)])
+            kern = p[key][..., cols, :].astype(np.float32)
+            kern[..., :corr_dim, :] *= corr_scale
+            p[key] = kern
+
+        j = 0
+        while f"{pre}ConvBlock_{j}/Conv_0/kernel" in p:
+            reslice(f"{pre}ConvBlock_{j}/Conv_0/kernel")
+            j += 1
+        for head in ("Conv_0", "Conv_1"):
+            reslice(f"{pre}{head}/kernel")
+        if i == finest and "params/ContextNetwork_0/Conv_0/kernel" in p:
+            reslice("params/ContextNetwork_0/Conv_0/kernel")
+    return p
+
+
 def prune_flow_params(
     params: dict[str, np.ndarray],
     estimator_channels: tuple[int, ...],
     context_channels: tuple[int, ...] | None,
+    pyramid_channels: tuple[int, ...] | None = None,
 ) -> dict[str, np.ndarray]:
     """Return a new flat param dict with the dense-block widths pruned to
-    ``estimator_channels`` (every FlowEstimator level) and the context
-    trunk to ``context_channels`` (None = leave untouched)."""
+    ``estimator_channels`` (every FlowEstimator level), the context
+    trunk to ``context_channels`` (None = leave untouched), and the
+    feature pyramid levels to ``pyramid_channels`` (None = leave
+    untouched; applied first, so the estimator/context slicing below
+    operates on the already-narrowed input stacks)."""
     p = dict(params)
+    if pyramid_channels is not None:
+        p = prune_pyramid_params(p, pyramid_channels)
 
     est_levels = _level_indices(p, "FlowEstimator")
     finest = max(est_levels) if est_levels else None
@@ -160,6 +266,9 @@ def main(argv=None):
     ap.add_argument("--context", default="64,64,64,48,32,16",
                     help="comma-separated target context trunk widths, "
                          "or 'keep'")
+    ap.add_argument("--pyramid", default="keep",
+                    help="comma-separated target feature-pyramid level "
+                         "widths (one per level), or 'keep'")
     ap.add_argument("--check", action="store_true",
                     help="load the pruned checkpoint and run a tiny "
                          "forward pass (CPU)")
@@ -170,7 +279,9 @@ def main(argv=None):
     est = tuple(int(x) for x in args.estimator.split(","))
     ctx = (None if args.context == "keep"
            else tuple(int(x) for x in args.context.split(",")))
-    pruned = prune_flow_params(params, est, ctx)
+    pyr = (None if args.pyramid == "keep"
+           else tuple(int(x) for x in args.pyramid.split(",")))
+    pruned = prune_flow_params(params, est, ctx, pyr)
     np.savez_compressed(
         args.dst, **{k: v.astype(np.float16) for k, v in pruned.items()}
     )

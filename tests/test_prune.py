@@ -147,3 +147,79 @@ def test_prune_zero_channels_is_exact():
     np.testing.assert_allclose(
         np.asarray(wide_flow), np.asarray(slim_flow), atol=1e-5, rtol=1e-5
     )
+
+
+PYR_T = (6, 12, 24, 28)
+
+
+def test_prune_pyramid_zero_channels_is_exact():
+    """Pyramid pruning: zero the to-be-dropped pyramid channels; the
+    pruned net must compute the same function as the zeroed wide net.
+    This also exercises the correlation mean-divisor compensation (the
+    corr planes rescale by c_old/c_new when channels are dropped; the
+    pruner folds the inverse into the estimator base-column kernels)."""
+    model = PWCNet(config=CFG)
+    params = init_pwc_params(model, 32, 48)
+    flat = {k: v.copy() for k, v in _flat(params).items()}
+
+    rng = np.random.default_rng(7)
+    fp = "params/FeaturePyramid_0/"
+    for lvl, (old, new) in enumerate(zip(CFG.feature_channels, PYR_T)):
+        for j in (2 * lvl, 2 * lvl + 1):
+            drop = np.sort(rng.choice(old, size=old - new, replace=False))
+            flat[f"{fp}ConvBlock_{j}/Conv_0/kernel"][..., drop] = 0.0
+            flat[f"{fp}ConvBlock_{j}/Conv_0/bias"][drop] = 0.0
+
+    x1 = jnp.asarray(
+        rng.normal(size=(1, 32, 48, 1)).astype(np.float32) * 0.3 + 0.5
+    )
+    x2 = jnp.asarray(
+        rng.normal(size=(1, 32, 48, 1)).astype(np.float32) * 0.3 + 0.5
+    )
+    wide_flow, _ = model.apply(_unflat(flat), x1, x2)
+
+    pruned = prune_flow_params(
+        flat, CFG.estimator_channels, None, pyramid_channels=PYR_T
+    )
+    slim_cfg = FlowNetConfig(
+        feature_channels=PYR_T,
+        search_range=CFG.search_range,
+        use_context_net=True,
+        estimator_channels=CFG.estimator_channels,
+        context_channels=CFG.context_channels,
+        dtype="float32",
+    )
+    slim_flow, _ = PWCNet(config=slim_cfg).apply(_unflat(pruned), x1, x2)
+    np.testing.assert_allclose(
+        np.asarray(wide_flow), np.asarray(slim_flow), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_prune_pyramid_then_estimator_roundtrip(tmp_path):
+    """Composed pyramid+estimator+context prune loads back through the
+    shape-self-describing checkpoint loader with the right config."""
+    from moving_object_detector_tpu.utils.checkpoint import (
+        load_flow_checkpoint,
+        save_flow_params_npz,
+    )
+
+    model = PWCNet(config=CFG)
+    params = init_pwc_params(model, 32, 48)
+    src = tmp_path / "wide.npz"
+    save_flow_params_npz(str(src), params)
+    data = np.load(src)
+    pruned = prune_flow_params(
+        {k: data[k] for k in data.files}, EST_T, CTX_T, PYR_T
+    )
+    dst = tmp_path / "slim.npz"
+    np.savez_compressed(dst, **pruned)
+
+    loaded, cfg = load_flow_checkpoint(str(dst), CFG)
+    assert cfg.feature_channels == PYR_T
+    assert cfg.estimator_channels == EST_T
+    assert cfg.context_channels == CTX_T
+    assert cfg.search_range == CFG.search_range
+    slim = PWCNet(config=cfg)
+    x = jnp.zeros((1, 32, 48, 1), jnp.float32)
+    flow, _ = slim.apply(loaded, x, x)
+    assert flow.shape == (1, 32, 48, 2)
