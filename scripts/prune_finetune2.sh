@@ -1,29 +1,33 @@
 #!/bin/bash
 # Stage P2 — the full-resolution 150 pairs/s lever (VERDICT round-3 #3):
-# pyramid + deep estimator/context structured prune of the promoted
+# deep (37.5%-width) estimator/context structured prune of the promoted
 # pwc_v6m3, then recovery finetune.
 #
-# Why P2 after P1: the decoder-only prune (pwc_p1, est/ctx at 75%) bought
-# only 0.3 ms because full-res flow cost is pyramid+correlation-dominated
-# (BENCH_MATRIX round-4 full-res row). P2 therefore also slims the
-# FEATURE pyramid (prune_flow.py --pyramid, with the correlation
-# mean-divisor compensation so zero-channel pruning stays exact) and cuts
-# the dense blocks to 50%. More quality risk than P1 — gate hard, promote
-# only on the full battery:
+# Why P2 after P1: the 75% prune (pwc_p1) bought only 0.3 ms. TPU probes
+# with v6m3-init weights (2026-08-21, full-res bench, batched pyramid):
+#   est/ctx 50% (64-widths)    -> 6.94 ms (144.07 pairs/s)  fallback
+#   est/ctx 37.5% (48-widths)  -> 6.65 ms (150.47 pairs/s)  <- this recipe
+#   est/ctx 50% + slim pyramid -> 9.70 ms (SLOWER, see below)
+# More quality risk than P1 — gate hard, promote only on the full
+# battery:
 #   - eval_flow_ckpt at 192x448 AND 384x896 (EPE floor both scales)
 #   - validate_detection_quality at both scales
 #   - validate_scene_matrix --vel-gate 0.6 (lateral/multi/occlusion)
-# If the 50% recovery misses gates, retry EST/CTX at 75% with the same
-# pyramid targets before giving up on the pyramid prune.
+# If the 37.5% recovery misses gates, retrain at the 64-width targets
+# (144.07) before falling back to pwc_p1 (75%, gated).
 #
 # Usage: scripts/prune_finetune2.sh [src_ckpt] [steps]
 set -eu
 cd "$(dirname "$0")/.."
 SRC=${1:-weights/pwc_v6m3.fp16.npz}
-STEPS=${2:-4000}
-PYR=16,24,48,72,96,128
-EST=64,64,48,32,16
-CTX=64,64,64,48,32,16
+STEPS=${2:-6000}
+# Pyramid pruning measured COUNTERPRODUCTIVE on TPU (2026-08-21): targets
+# 16,24,48,72,96,128 made full-res 9.70 ms vs 7.56 (p1) — the non-lane-
+# friendly channel counts (24/48/72) regress conv layouts far more than
+# the removed work saves. est/ctx-only at 50% measured 6.94 ms (144.07
+# pairs/s) with the v6m3-init weights. Pyramid stays untouched.
+EST=48,48,32,24,16
+CTX=48,48,48,32,24,16
 
 train() { timeout 14400 python -m moving_object_detector_tpu.train.train_flow "$@"; }
 
@@ -31,9 +35,9 @@ echo "== tunnel probe =="
 timeout 120 python -c "import jax; print(jax.devices())" || {
     echo "TPU tunnel down; aborting." >&2; exit 1; }
 
-echo "== prune $SRC -> /tmp/pwc_p2_init.npz (pyr $PYR est $EST ctx $CTX) =="
+echo "== prune $SRC -> /tmp/pwc_p2_init.npz (est $EST ctx $CTX) =="
 python scripts/prune_flow.py "$SRC" /tmp/pwc_p2_init.npz \
-    --pyramid "$PYR" --estimator "$EST" --context "$CTX"
+    --estimator "$EST" --context "$CTX"
 
 echo "== stage P2: recovery finetune (192x448, serving mixture) =="
 train --steps "$STEPS" --batch 8 --height 192 --width 448 --lr 1e-4 --warmup 200 \
