@@ -113,8 +113,11 @@ def cluster_scene_flow(
     crop_on = ch > 0 and cw > 0 and (ch < h or cw < w)
 
     def _busy_branch(cloud, vel, vnorm, dynamic):
+        def _full_branch(cloud, vel, vnorm, dynamic):
+            return _cluster_dynamic(cloud, vel, vnorm, dynamic, **kwargs)[:3]
+
         if not crop_on:
-            return _cluster_dynamic(cloud, vel, vnorm, dynamic, **kwargs)
+            return _full_branch(cloud, vel, vnorm, dynamic)
         # Bounding box of the (non-empty, guaranteed by the outer cond)
         # dynamic set. No margin is needed: a window edge requires BOTH
         # endpoints dynamic (comparePoints, clusterer_nodelet.cpp:186-219),
@@ -131,20 +134,42 @@ def cluster_scene_flow(
         r0c = jnp.clip(r0, 0, h - ch)
         c0c = jnp.clip(c0, 0, w - cw)
 
-        def _crop_branch(cloud, vel, vnorm, dynamic):
+        def _run_window(dyn_src, r0s, c0s):
+            """Cluster one (ch, cw) window of the frame.
+
+            ``dyn_src`` may be a side-masked copy of the dynamic map (the
+            two-window path), so a window that geometrically overlaps the
+            other side never clusters the other side's pixels. Returns
+            the window result plus each object slot's frame-raster root
+            key (= the cluster's first member in FULL-frame raster order;
+            within one window, crop raster order equals frame raster
+            order restricted to the window, so the window root IS the
+            frame root) and the window's size-passing cluster count.
+            """
             pts_c = jax.lax.dynamic_slice(
-                cloud.points, (r0c, c0c, jnp.int32(0)), (ch, cw, 3)
+                cloud.points, (r0s, c0s, jnp.int32(0)), (ch, cw, 3)
             )
             vel_c = jax.lax.dynamic_slice(
-                vel, (r0c, c0c, jnp.int32(0)), (ch, cw, 3)
+                vel, (r0s, c0s, jnp.int32(0)), (ch, cw, 3)
             )
-            vnorm_c = jax.lax.dynamic_slice(vnorm, (r0c, c0c), (ch, cw))
-            dyn_c = jax.lax.dynamic_slice(dynamic, (r0c, c0c), (ch, cw))
-            objects, label_c, overflow = _cluster_dynamic(
+            vnorm_c = jax.lax.dynamic_slice(vnorm, (r0s, c0s), (ch, cw))
+            dyn_c = jax.lax.dynamic_slice(dyn_src, (r0s, c0s), (ch, cw))
+            objects, label_c, overflow, roots = _cluster_dynamic(
                 SceneFlowCloud(points=pts_c, velocity=vel_c),
                 vel_c, vnorm_c, dyn_c,
                 min_size_cap=h * w, **kwargs,
             )
+            nc = ch * cw
+            key = jnp.where(
+                roots < nc,
+                (roots // cw + r0s) * w + (roots % cw + c0s),
+                jnp.int32(h * w),
+            )
+            big = jnp.sum((roots < nc).astype(jnp.int32)) + overflow
+            return objects, label_c, overflow, key, big
+
+        def _crop_branch(cloud, vel, vnorm, dynamic):
+            objects, label_c, overflow, _, _ = _run_window(dynamic, r0c, c0c)
             # Objects are world-space (crop-invariant); only the compact
             # label image needs scattering back into the frame.
             label_image = jax.lax.dynamic_update_slice(
@@ -152,9 +177,110 @@ def cluster_scene_flow(
             )
             return objects, label_image, overflow
 
+        if config.cc_crop_windows < 2:
+            return jax.lax.cond(
+                fits, _crop_branch, _full_branch, cloud, vel, vnorm, dynamic
+            )
+
+        # Two-window split (cc_crop_windows >= 2): when the dynamic
+        # extent defeats one window (e.g. objects near opposite frame
+        # corners — BENCH_MATRIX --busy-wide, 136.97 vs 237.3 pairs/s),
+        # split at the widest all-static column gap. EXACT when the gap
+        # exceeds the neighbor radius: adjacency is Chebyshev-gated
+        # (ops/clustering._edge_offsets), so no edge crosses the gap and
+        # every cluster lies wholly in one side; per-side top-`cap`
+        # selection then composes exactly (a side's (cap+1)-th cluster is
+        # preceded by cap earlier keys of its own side, so it can never
+        # be in the merged first cap).
+        dyncol = jnp.where(cols_any, ci, -1)
+        last_dyn = jax.lax.associative_scan(jnp.maximum, dyncol)
+        prev_dyn = jnp.concatenate(
+            [jnp.full((1,), -1, last_dyn.dtype), last_dyn[:-1]]
+        )
+        gap = jnp.where(cols_any & (prev_dyn >= 0), ci - prev_dyn - 1, -1)
+        i_star = jnp.argmax(gap).astype(jnp.int32)  # right side's first col
+        cL = prev_dyn[i_star].astype(jnp.int32)  # left side's last col
+        colmask_l = (ci <= cL)[None, :]
+        dyn_l = dynamic & colmask_l
+        dyn_r = dynamic & ~colmask_l
+        rows_any_l = jnp.any(dyn_l, axis=1)
+        rows_any_r = jnp.any(dyn_r, axis=1)
+        r0l = jnp.min(jnp.where(rows_any_l, ri, h))
+        r1l = jnp.max(jnp.where(rows_any_l, ri, -1))
+        r0r = jnp.min(jnp.where(rows_any_r, ri, h))
+        r1r = jnp.max(jnp.where(rows_any_r, ri, -1))
+        fits2 = (
+            (cL >= 0)
+            & ((i_star - cL) > neighbor_distance)  # no cross-gap edges
+            & (r1l - r0l < ch) & (cL - c0 < cw)
+            & (r1r - r0r < ch) & (c1 - i_star < cw)
+        )
+        r0lc = jnp.clip(r0l, 0, h - ch)
+        c0lc = jnp.clip(c0, 0, w - cw)
+        r0rc = jnp.clip(r0r, 0, h - ch)
+        c0rc = jnp.clip(i_star, 0, w - cw)
+
+        def _two_branch(cloud, vel, vnorm, dynamic):
+            obj_l, lab_l, _, key_l, big_l = _run_window(dyn_l, r0lc, c0lc)
+            obj_r, lab_r, _, key_r, big_r = _run_window(dyn_r, r0rc, c0rc)
+            # Merge the two windows' object slots in global root order
+            # (ascending frame key; sentinel h*w slots sort last), keep
+            # the first `cap` — identical to the full-frame first-cap
+            # selection.
+            allkey = jnp.concatenate([key_l, key_r])
+            full_order = jnp.argsort(allkey)
+            rank = jnp.zeros((2 * cap,), jnp.int32).at[full_order].set(
+                jnp.arange(2 * cap, dtype=jnp.int32)
+            )
+            order = full_order[:cap]
+
+            def pick(a, b):
+                return jnp.concatenate([a, b])[order]
+
+            valid_m = pick(obj_l.valid, obj_r.valid)
+            ids_m = jnp.where(
+                valid_m, jnp.cumsum(valid_m.astype(jnp.int32)) - 1, -1
+            )
+            objects = MovingObjects(
+                id=ids_m.astype(jnp.int32),
+                center=pick(obj_l.center, obj_r.center),
+                velocity=pick(obj_l.velocity, obj_r.velocity),
+                bounding_box=pick(obj_l.bounding_box, obj_r.bounding_box),
+                valid=valid_m,
+            )
+            # Window-compact id -> merged id (-1 beyond capacity), then
+            # scatter both windows into the frame. Window regions may
+            # overlap geometrically but claim disjoint pixel sets (the
+            # side masks), so elementwise max composes them.
+            ids_at_rank = jnp.concatenate(
+                [ids_m, jnp.full((cap,), -1, jnp.int32)]
+            )
+            lut = ids_at_rank[rank]  # (2cap,) merged id per concat slot
+
+            def remap(lab, lut_side):
+                out = jnp.full((ch, cw), -1, jnp.int32)
+                for j in range(cap):
+                    out = jnp.where(lab == j, lut_side[j], out)
+                return out
+
+            base = jnp.full((h, w), -1, jnp.int32)
+            t_l = jax.lax.dynamic_update_slice(
+                base, remap(lab_l, lut[:cap]), (r0lc, c0lc)
+            )
+            t_r = jax.lax.dynamic_update_slice(
+                base, remap(lab_r, lut[cap:]), (r0rc, c0rc)
+            )
+            label_image = jnp.maximum(t_l, t_r)
+            overflow = jnp.maximum(big_l + big_r - cap, 0)
+            return objects, label_image, overflow
+
+        def _no_fit_branch(cloud, vel, vnorm, dynamic):
+            return jax.lax.cond(
+                fits2, _two_branch, _full_branch, cloud, vel, vnorm, dynamic
+            )
+
         return jax.lax.cond(
-            fits, _crop_branch, partial(_cluster_dynamic, **kwargs),
-            cloud, vel, vnorm, dynamic,
+            fits, _crop_branch, _no_fit_branch, cloud, vel, vnorm, dynamic
         )
 
     objects, label_image, overflow = jax.lax.cond(
@@ -342,4 +468,6 @@ def _cluster_dynamic(
     # Size-passing clusters beyond the max_objects capacity: the silent
     # drop made observable (VERDICT round-3 weak #8).
     overflow = jnp.maximum(jnp.sum(big_start.astype(jnp.int32)) - cap, 0)
-    return objects, label_image, overflow
+    # roots (per-slot cluster root = min member flat index; sentinel n for
+    # unused slots) lets the two-window crop path order clusters globally.
+    return objects, label_image, overflow, roots

@@ -119,6 +119,15 @@ class ClustererConfig:
     # would not shrink the frame (e.g. the 192x448 validation scenes).
     cc_crop_h: int = 192
     cc_crop_w: int = 512
+    # Max crop windows when the dynamic extent defeats a single
+    # (cc_crop_h, cc_crop_w) window: 2 = try a two-window split at the
+    # widest all-static column gap (exact when the gap exceeds the
+    # neighbor radius — no CC edge can cross it; clusterer._busy_branch),
+    # falling back to the full-frame path when no such split exists.
+    # 1 = single-window behavior only. Measured (BENCH_MATRIX round 4b):
+    # the --busy-wide two-corner scene pays full-frame cost (136.97
+    # pairs/s) without this, ~2x the one-crop stage cost with it.
+    cc_crop_windows: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

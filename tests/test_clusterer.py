@@ -215,7 +215,7 @@ def test_quiet_early_out_matches_full_path():
     obj_fast, lab_fast = cluster_scene_flow(cloud, CFG)
 
     vnorm = jnp.sqrt(jnp.sum(cloud.velocity**2, axis=-1))
-    obj_full, lab_full, _ = _cluster_dynamic(
+    obj_full, lab_full, _, _ = _cluster_dynamic(
         cloud, cloud.velocity, vnorm,
         vnorm >= jnp.float32(CFG.dynamic_speed),
         config=CFG,
@@ -382,3 +382,108 @@ def test_cluster_overflow_counter():
     # Default signature unchanged: two elements.
     out = cluster_scene_flow(cloud, cfg2)
     assert len(out) == 2
+
+
+def test_two_window_split_matches_full_path():
+    """Two objects at opposite frame corners: the single window can't fit
+    the dynamic extent, the two-window column split runs, and the result
+    is bitwise identical to the full-frame path (ordering, ids, label
+    image, median velocities)."""
+    pts, vel = make_cloud(h=40, w=96)
+    fill_block(pts, vel, 2, 10, 2, 20, z=2.0, v=[1.0, 0.0, 0.0])
+    fill_block(pts, vel, 30, 38, 70, 92, z=3.0, v=[0.0, 1.0, 0.0])
+    full = _run_cfg(pts, vel, CFG)
+    two = _run_cfg(
+        pts, vel, dataclasses.replace(CFG, cc_crop_h=16, cc_crop_w=40)
+    )
+    assert np.asarray(full[0].valid).sum() == 2
+    _assert_same_result(full, two)
+
+
+def test_two_window_disabled_falls_back_to_full():
+    """cc_crop_windows=1 restores the single-window behavior: the
+    two-corner scene takes the full-frame branch, results identical."""
+    pts, vel = make_cloud(h=40, w=96)
+    fill_block(pts, vel, 2, 10, 2, 20, z=2.0, v=[1.0, 0.0, 0.0])
+    fill_block(pts, vel, 30, 38, 70, 92, z=3.0, v=[0.0, 1.0, 0.0])
+    full = _run_cfg(pts, vel, CFG)
+    one = _run_cfg(
+        pts, vel,
+        dataclasses.replace(
+            CFG, cc_crop_h=16, cc_crop_w=40, cc_crop_windows=1
+        ),
+    )
+    _assert_same_result(full, one)
+
+
+def test_two_window_small_gap_falls_back():
+    """A column gap not exceeding the neighbor radius cannot be split
+    (a cluster edge could cross it): the full-frame branch must run."""
+    pts, vel = make_cloud(h=40, w=96)
+    # Same depth, column distance exactly neighbor_distance (4, i.e. 3
+    # static columns between): the two blocks are ONE window-CC cluster
+    # in the full path, so the split predicate must reject the gap.
+    fill_block(pts, vel, 2, 10, 2, 46, z=2.0, v=[1.0, 0.0, 0.0])
+    fill_block(pts, vel, 2, 10, 49, 92, z=2.0, v=[1.0, 0.0, 0.0])
+    full = _run_cfg(pts, vel, CFG)
+    two = _run_cfg(
+        pts, vel, dataclasses.replace(CFG, cc_crop_h=16, cc_crop_w=60)
+    )
+    assert np.asarray(full[0].valid).sum() == 1  # merged across the gap
+    _assert_same_result(full, two)
+
+
+def test_two_window_capacity_and_ordering_parity():
+    """Clusters on both sides exceeding max_objects: the merged first-cap
+    selection and the overflow count must match the full-frame path."""
+    from moving_object_detector_tpu.types import SceneFlowCloud
+
+    pts, vel = make_cloud(h=40, w=96)
+    # 3 left-side and 3 right-side blobs, interleaved in raster order.
+    for i, (y0, x0) in enumerate(
+        [(2, 2), (6, 70), (14, 10), (18, 80), (26, 4), (30, 74)]
+    ):
+        fill_block(
+            pts, vel, y0, y0 + 3, x0, x0 + 8,
+            z=1.5 + 0.5 * i, v=[1.0 + 0.1 * i, 0.0, 0.0],
+        )
+    cfg_full = dataclasses.replace(CFG, max_objects=4)
+    cfg_two = dataclasses.replace(
+        CFG, max_objects=4, cc_crop_h=16, cc_crop_w=40
+    )
+    cloud = SceneFlowCloud(points=jnp.asarray(pts), velocity=jnp.asarray(vel))
+    obj_f, lab_f, ovf_f = cluster_scene_flow(
+        cloud, cfg_full, return_overflow=True
+    )
+    obj_t, lab_t, ovf_t = cluster_scene_flow(
+        cloud, cfg_two, return_overflow=True
+    )
+    assert int(np.asarray(ovf_f)) == 2  # 6 size-passing clusters, cap 4
+    assert int(np.asarray(ovf_t)) == int(np.asarray(ovf_f))
+    _assert_same_result((obj_f, np.asarray(lab_f)), (obj_t, np.asarray(lab_t)))
+
+
+def test_two_window_random_scatter_parity():
+    """Randomized blobs over the whole frame: whatever branch triggers
+    (one-window, two-window, or full fallback), results are bitwise
+    identical to the crop-disabled path."""
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        pts, vel = make_cloud(h=48, w=112)
+        for _ in range(int(rng.integers(1, 6))):
+            y0 = int(rng.integers(0, 40))
+            x0 = int(rng.integers(0, 100))
+            hh = int(rng.integers(2, 8))
+            ww = int(rng.integers(2, 12))
+            z = float(rng.uniform(1, 3))
+            v = [float(rng.uniform(0.5, 2)), 0.0, 0.0]
+            fill_block(pts, vel, y0, y0 + hh, x0, x0 + min(ww, 112 - x0), z=z, v=v)
+        cfg = dataclasses.replace(CFG, max_objects=4)
+        full = _run_cfg(pts, vel, cfg)
+        two = _run_cfg(
+            pts, vel,
+            dataclasses.replace(
+                cfg, cc_crop_h=16, cc_crop_w=48
+            ),
+        )
+        _assert_same_result(full, two)
