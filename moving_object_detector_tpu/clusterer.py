@@ -248,14 +248,17 @@ def cluster_scene_flow(
                 bounding_box=pick(obj_l.bounding_box, obj_r.bounding_box),
                 valid=valid_m,
             )
-            # Window-compact id -> merged id (-1 beyond capacity), then
-            # scatter both windows into the frame. Window regions may
-            # overlap geometrically but claim disjoint pixel sets (the
-            # side masks), so elementwise max composes them.
-            ids_at_rank = jnp.concatenate(
-                [ids_m, jnp.full((cap,), -1, jnp.int32)]
-            )
-            lut = ids_at_rank[rank]  # (2cap,) merged id per concat slot
+            # Window-compact id -> merged SLOT index (-1 beyond
+            # capacity), then scatter both windows into the frame. The
+            # label image must carry slot indices exactly like the
+            # full-frame path (_cluster_dynamic labels pixels with the
+            # objects-array slot, which can differ from the compacted
+            # MovingObjects.id whenever an occupied slot has
+            # valid=False); ids_m is used only for MovingObjects.id.
+            # Window regions may overlap geometrically but claim
+            # disjoint pixel sets (the side masks), so elementwise max
+            # composes them.
+            lut = jnp.where(rank < cap, rank, -1).astype(jnp.int32)
 
             def remap(lab, lut_side):
                 out = jnp.full((ch, cw), -1, jnp.int32)

@@ -60,14 +60,22 @@ print("wrote /tmp/pwc_p2_candidate.fp16.npz")
 PYEOF
 
 echo "== gates =="
-timeout 2400 python scripts/eval_flow_ckpt.py /tmp/pwc_p2_candidate.fp16.npz \
-    || echo "EVAL1 FAIL rc=$?"
-timeout 3600 python scripts/eval_flow_ckpt.py /tmp/pwc_p2_candidate.fp16.npz 384 896 \
-    || echo "EVAL2 FAIL rc=$?"
-timeout 1800 python scripts/validate_detection_quality.py \
-    /tmp/pwc_p2_candidate.fp16.npz 192 448 10 || echo "DET1 FAIL rc=$?"
-timeout 1800 python scripts/validate_detection_quality.py \
-    /tmp/pwc_p2_candidate.fp16.npz 384 896 8 2 2 || echo "DET2 FAIL rc=$?"
-timeout 2400 python scripts/validate_scene_matrix.py \
-    /tmp/pwc_p2_candidate.fp16.npz --vel-gate 0.6 || echo "MATRIX FAIL rc=$?"
-echo "== P2 DONE: on all-PASS, cp candidate to weights/pwc_p2.fp16.npz, allowlist with measured numbers, bench full-res =="
+ok=1
+gate() {  # gate <name> <timeout> <cmd...>
+    local name=$1 to=$2; shift 2
+    timeout "$to" "$@" || { echo "$name FAIL rc=$?"; ok=0; }
+}
+gate EVAL1 2400 python scripts/eval_flow_ckpt.py /tmp/pwc_p2_candidate.fp16.npz
+gate EVAL2 3600 python scripts/eval_flow_ckpt.py /tmp/pwc_p2_candidate.fp16.npz 384 896
+gate DET1 1800 python scripts/validate_detection_quality.py \
+    /tmp/pwc_p2_candidate.fp16.npz 192 448 10
+gate DET2 1800 python scripts/validate_detection_quality.py \
+    /tmp/pwc_p2_candidate.fp16.npz 384 896 8 2 2
+gate MATRIX 2400 python scripts/validate_scene_matrix.py \
+    /tmp/pwc_p2_candidate.fp16.npz --vel-gate 0.6
+if [ "$ok" = 1 ]; then
+    echo "== P2 DONE: ALL GATES PASS — cp candidate to weights/pwc_p2.fp16.npz, allowlist with measured numbers, bench full-res =="
+else
+    echo "== P2 GATES FAILED — do not promote =="
+    exit 1
+fi
