@@ -45,8 +45,9 @@ def main(argv=None):
                          "'auto' uses the newest gate-passing bundled weights "
                          "if present, 'none' forces random init")
     ap.add_argument("--streams", type=int, default=1,
-                    help="batch N camera streams (vmapped pipeline) and"
-                         " report aggregate pairs/s")
+                    help="step N camera streams (sequential lax.map "
+                         "scan single-chip; spatial composition "
+                         "multi-chip) and report aggregate pairs/s")
     ap.add_argument("--spatial", type=int, default=1,
                     help="row-stripe the heavy perception of each stream "
                          "over K chips (needs streams*K devices; "
@@ -246,7 +247,7 @@ def main(argv=None):
     if n_streams > 1 or n_spatial > 1:
         from moving_object_detector_tpu.parallel.streams import (
             create_stream_states,
-            detect_step_batched,
+            detect_step_streams_scan,
         )
 
         state0 = create_stream_states(config, n_streams)
@@ -292,7 +293,11 @@ def main(argv=None):
                         mesh,
                     )
                 else:
-                    state, out = detect_step_batched(
+                    # Sequential per-stream scan: the supported
+                    # single-chip multi-stream form (the vmapped
+                    # detect_step_batched is guarded off on accelerators
+                    # — BENCH_MATRIX r4 worker crash).
+                    state, out = detect_step_streams_scan(
                         params,
                         state,
                         lefts,

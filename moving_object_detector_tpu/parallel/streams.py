@@ -33,6 +33,45 @@ def create_stream_states(config: PipelineConfig, n_streams: int):
 
 
 @partial(jax.jit, static_argnames=("config", "flow_model"))
+def detect_step_streams_scan(
+    flow_params,
+    states,
+    lefts: jnp.ndarray,
+    rights: jnp.ndarray,
+    ts: jnp.ndarray,
+    stereo: StereoModel,
+    config: PipelineConfig,
+    flow_model=None,
+):
+    """Sequential multi-stream stepping: lax.map over the stream axis.
+
+    The SUPPORTED single-chip multi-stream entry point. Each stream's
+    frame program runs unbatched inside one compiled scan, so the Pallas
+    kernels keep their single-stream lowering (no SMEM-scalar batching,
+    no vmap degradation) and aggregate throughput is ~N x the
+    single-stream frame time — serialization, not parallelism, which on
+    one chip is the honest ceiling anyway (the vmapped form measured
+    0.5-6x SLOWER than this and its XLA-kernel variant crashed the TPU
+    worker; BENCH_MATRIX r4). Multi-chip scaling instead shards streams
+    one-per-chip (parallel/spatial.py detect_step_streams_spatial).
+
+    Args mirror detect_step_batched (leading N axis on states/images/ts;
+    shared flow params + calibration).
+    """
+
+    def one(xs):
+        state, left, right, t = xs
+        return detect_step(
+            flow_params, state, left, right, t, stereo, config,
+            flow_model=flow_model,
+        )
+
+    return jax.lax.map(one, (states, lefts, rights, ts))
+
+
+@partial(
+    jax.jit, static_argnames=("config", "flow_model", "unsafe_vmap_on_tpu")
+)
 def detect_step_batched(
     flow_params,
     states,
@@ -44,6 +83,7 @@ def detect_step_batched(
     flow_model=None,
     flow_overrides: jnp.ndarray | None = None,
     disparity_overrides=None,
+    unsafe_vmap_on_tpu: bool = False,
 ):
     """vmapped detect_step over a leading stream axis.
 
@@ -52,8 +92,27 @@ def detect_step_batched(
     streams; per-stream calibration would vmap over stereo too). The
     optional overrides carry externally computed per-stream perception
     results — e.g. the spatially sharded SGM/flow kernels
-    (parallel/spatial.py detect_step_streams_spatial)."""
+    (parallel/spatial.py detect_step_streams_spatial).
+
+    GUARDED on accelerators: the vmapped pipeline is single-chip DEAD
+    (BENCH_MATRIX r4: vmapped Pallas 483 ms/frame; the XLA-kernel
+    variant crashed the TPU worker), so calling this with a non-CPU
+    default backend raises unless ``unsafe_vmap_on_tpu=True``. Use
+    detect_step_streams_scan (single chip) or
+    detect_step_streams_spatial (multi-chip) instead. CPU use (tests,
+    virtual-mesh dryruns, multihost CPU processes) is unaffected."""
     import dataclasses
+
+    if jax.default_backend() != "cpu" and not unsafe_vmap_on_tpu:
+        raise RuntimeError(
+            "detect_step_batched (vmapped pipeline) is disabled on "
+            f"accelerator backend {jax.default_backend()!r}: it measured "
+            "483 ms/frame with Pallas kernels and crashed the TPU worker "
+            "with XLA kernels (BENCH_MATRIX r4). Use "
+            "detect_step_streams_scan for single-chip multi-stream, "
+            "detect_step_streams_spatial for multi-chip, or pass "
+            "unsafe_vmap_on_tpu=True to override."
+        )
 
     # Pin every Pallas kernel to its XLA oracle form under vmap: (a) the
     # Pallas CC kernel's traced SMEM scalars (cc_scan_span /

@@ -73,7 +73,7 @@ def main():
     n_streams = args.streams
     if n_streams > 1:
         from moving_object_detector_tpu.parallel.streams import (
-            create_stream_states, detect_step_batched,
+            create_stream_states, detect_step_streams_scan,
         )
         state0 = create_stream_states(config, n_streams)
     else:
@@ -94,7 +94,7 @@ def main():
             if n_streams > 1:
                 lefts = jnp.broadcast_to(left, (n_streams,) + left.shape)
                 rights = jnp.broadcast_to(right, (n_streams,) + right.shape)
-                state, out = detect_step_batched(
+                state, out = detect_step_streams_scan(
                     params, state, lefts, rights, state.prev_time + 0.1,
                     stereo, config, flow_model=model)
             else:

@@ -323,3 +323,86 @@ def test_streams_spatial_with_pallas_interpret_kernels():
     assert np.isfinite(np.asarray(out_sp.flow)).all()
     assert int(np.asarray(out_sp.detections.valid).sum()) == 0
     assert bool(np.asarray(out_sp.frame_valid).all())
+
+
+def test_streams_scan_matches_batched():
+    """detect_step_streams_scan (the supported single-chip multi-stream
+    form: lax.map over streams, kernels unbatched) is bitwise-identical
+    to the vmapped detect_step_batched on CPU with XLA kernels."""
+    from moving_object_detector_tpu.config import (
+        ClustererConfig, EgoMotionConfig, PipelineConfig, SceneFlowConfig,
+        TrackerConfig,
+    )
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet, init_pwc_params,
+    )
+    from moving_object_detector_tpu.parallel.streams import (
+        create_stream_states, detect_step_batched, detect_step_streams_scan,
+    )
+
+    h, w, n = 48, 96, 2
+    config = PipelineConfig(
+        height=h, width=w,
+        scene_flow=SceneFlowConfig(dynamic_flow_diff=2.0,
+                                   gather_backend="xla"),
+        clusterer=ClustererConfig(
+            cluster_size=50, depth_diff=0.3, dynamic_speed=0.3,
+            neighbor_distance=2, max_objects=4, cc_backend="xla",
+        ),
+        tracker=TrackerConfig(max_tracks=8),
+        sgm=SGMConfig(max_disparity=16, census_window=(5, 5),
+                      backend="xla"),
+        egomotion=EgoMotionConfig(
+            max_features=64, nms_radius=2, ransac_hypotheses=8,
+            lk_pyramid_levels=2, min_inliers=8,
+        ),
+        flownet=FlowNetConfig(
+            feature_channels=(8, 16, 32), search_range=2,
+            use_context_net=False, dtype="float32", corr_backend="xla",
+        ),
+    )
+    stereo = StereoModel.create(fx=100.0, fy=100.0, cx=w / 2, cy=h / 2,
+                                baseline=0.48)
+    model = PWCNet(config=config.flownet)
+    params = init_pwc_params(model, h, w, jax.random.PRNGKey(0))
+
+    keys = jax.random.split(jax.random.PRNGKey(5), n)
+    k3 = jnp.ones((3, 3), jnp.float32) / 9.0
+    def scene(key):
+        img = jax.random.uniform(key, (h, w), jnp.float32)
+        return jax.scipy.signal.convolve2d(img, k3, mode="same")
+    lefts = jax.vmap(scene)(keys)
+    rights = jnp.roll(lefts, -5, axis=2)
+
+    states = create_stream_states(config, n)
+    ts = jnp.full((n,), 0.1, jnp.float32)
+    st_b, out_b = detect_step_batched(
+        params, states, lefts, rights, ts, stereo, config,
+        flow_model=model,
+    )
+    st_s, out_s = detect_step_streams_scan(
+        params, states, lefts, rights, ts, stereo, config,
+        flow_model=model,
+    )
+    for name, a, b in (
+        ("disparity", out_b.disparity.disparity, out_s.disparity.disparity),
+        ("velocity", out_b.scene_flow.velocity, out_s.scene_flow.velocity),
+        ("label", out_b.label_image, out_s.label_image),
+        ("prev_left", st_b.prev_left, st_s.prev_left),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
+
+
+def test_detect_step_batched_guarded_on_accelerator(monkeypatch):
+    """The vmapped streams path crashed a real TPU worker (BENCH_MATRIX
+    r4); it must refuse to run when the default backend is not CPU."""
+    from moving_object_detector_tpu.parallel import streams as streams_mod
+
+    monkeypatch.setattr(streams_mod.jax, "default_backend", lambda: "tpu")
+    with pytest.raises(RuntimeError, match="detect_step_streams_scan"):
+        # Trace-time guard: argument shapes never matter.
+        streams_mod.detect_step_batched.__wrapped__(
+            None, None, None, None, None, None, None
+        )
