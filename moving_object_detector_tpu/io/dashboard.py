@@ -8,10 +8,17 @@ single-process analog for ``run.py --serve-port``: a stdlib
 ThreadingHTTPServer on a daemon thread serving
 
 * ``/``            — auto-refreshing HTML page (camera + detections
-                     overlay, cluster labels, optical flow, depth),
+                     overlay, cluster labels, optical flow, depth,
+                     editable tunables panel),
 * ``/view/<name>.png`` — the latest rendered product,
 * ``/status.json`` — frame counter, timestamps, detection/track tallies,
-                     throughput estimate.
+                     throughput estimate,
+* ``/tunables.json``   — current hot-tunable values (GET),
+* ``/tunables`` (POST) — queue tunable updates; the runner applies them
+                     between frames via Tunables.replace_values — the
+                     full dynamic_reconfigure loop (observe AND adjust
+                     in one pane, like rqt reconfigure over
+                     Clusterer.cfg / MovingObjectTracker.cfg).
 
 Rendering happens on the harvest path (one frame behind the device, like
 the file exports) and only encodes products a browser asked for recently
@@ -44,6 +51,13 @@ _PAGE = """<!DOCTYPE html>
 <body>
 <h3>moving_object_detector_tpu &mdash; live run</h3>
 <div id="status">waiting for frames...</div>
+<details><summary style="color:#c9a">tunables (dynamic_reconfigure)</summary>
+ <form id="tunables" onsubmit="return applyTunables(event)">
+  <div id="knobs"></div>
+  <button type="submit">apply</button>
+  <span id="tunmsg"></span>
+ </form>
+</details>
 <div class="grid">
  <figure><figcaption>camera + detections (red) / tracks (green)</figcaption>
    <img id="camera" src="/view/camera.png"></figure>
@@ -66,6 +80,36 @@ _PAGE = """<!DOCTYPE html>
        JSON.stringify(s, null, 1);
    }}).catch(() => {{}});
  }}, {refresh_ms});
+ function loadTunables() {{
+   fetch("/tunables.json").then(r => r.json()).then(t => {{
+     const div = document.getElementById("knobs");
+     div.innerHTML = "";
+     for (const [k, v] of Object.entries(t)) {{
+       const row = document.createElement("label");
+       row.style.display = "block";
+       row.textContent = k + " ";
+       const inp = document.createElement("input");
+       inp.name = k; inp.value = v; inp.size = 10;
+       row.appendChild(inp);
+       div.appendChild(row);
+     }}
+   }}).catch(() => setTimeout(loadTunables, 2000));
+ }}
+ loadTunables();
+ function applyTunables(ev) {{
+   ev.preventDefault();
+   const vals = {{}};
+   for (const inp of document.querySelectorAll("#knobs input")) {{
+     const x = parseFloat(inp.value);
+     if (!Number.isNaN(x)) vals[inp.name] = x;
+   }}
+   fetch("/tunables", {{method: "POST", body: JSON.stringify(vals)}})
+     .then(r => r.json())
+     .then(s => document.getElementById("tunmsg").textContent =
+                  JSON.stringify(s))
+     .catch(e => document.getElementById("tunmsg").textContent = e);
+   return false;
+ }}
 </script>
 </body></html>
 """
@@ -139,6 +183,11 @@ class LiveDashboard:
         self._demand: dict[str, float] = {p: 0.0 for p in self.PRODUCTS}
         self._t_first = None
         self.demand_window = demand_window
+        # Retune channel: POSTed knob values queue here; the runner pops
+        # them between frames (Tunables.replace_values). The view dict is
+        # the runner-pushed current values served at /tunables.json.
+        self._pending_tunables: dict = {}
+        self._tunables_view: dict = {}
         dash = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -154,6 +203,10 @@ class LiveDashboard:
                     with dash._lock:
                         body = json.dumps(dash._status).encode()
                     self._send(200, "application/json", body)
+                elif path == "/tunables.json":
+                    with dash._lock:
+                        body = json.dumps(dash._tunables_view).encode()
+                    self._send(200, "application/json", body)
                 elif path.startswith("/view/") and path.endswith(".png"):
                     name = path[len("/view/"):-len(".png")]
                     with dash._lock:
@@ -165,6 +218,25 @@ class LiveDashboard:
                         self._send(200, "image/png", body)
                 else:
                     self._send(404, "text/plain", b"unknown path")
+
+            def do_POST(self):
+                path = self.path.split("?", 1)[0]
+                if path != "/tunables":
+                    self._send(404, "text/plain", b"unknown path")
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    values = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(values, dict):
+                        raise ValueError("body must be a JSON object")
+                except (ValueError, OSError) as e:
+                    self._send(400, "application/json",
+                               json.dumps({"error": str(e)}).encode())
+                    return
+                with dash._lock:
+                    dash._pending_tunables.update(values)
+                self._send(200, "application/json",
+                           json.dumps({"queued": sorted(values)}).encode())
 
             def _send(self, code, ctype, body):
                 self.send_response(code)
@@ -180,6 +252,17 @@ class LiveDashboard:
             target=self._server.serve_forever, daemon=True
         )
         self._thread.start()
+
+    def pop_pending_tunables(self) -> dict:
+        """Drain queued retune values (runner, between frames)."""
+        with self._lock:
+            pending, self._pending_tunables = self._pending_tunables, {}
+        return pending
+
+    def set_tunables_view(self, values: dict) -> None:
+        """Publish the current tunable values for /tunables.json."""
+        with self._lock:
+            self._tunables_view = dict(values)
 
     def _wanted(self, name: str) -> bool:
         # Never-rendered products are always rendered (the first frame can

@@ -46,6 +46,10 @@ class FrameResult:
     # dropped beyond max_objects / track bank full after this frame.
     cluster_overflow: int = 0
     tracker_saturated: bool = False
+    # Wall-clock at harvest. When the stream timestamps are producer
+    # wall-clock (live/socket sources), harvest_wall - time is the
+    # end-to-end capture->published latency of this frame.
+    harvest_wall: float = 0.0
 
 
 class _RunToken:
@@ -140,6 +144,41 @@ class PipelineRunner:
         print(f"# reconfigure: applied {known}", flush=True)
         return True
 
+    def _apply_dashboard_tunables(self) -> bool:
+        """Between frames: drain knob values POSTed to the dashboard's
+        /tunables endpoint (the rqt-reconfigure loop: observe AND adjust
+        in one pane) and publish the current values for /tunables.json.
+        Same validation as the file channel: unknown keys are reported
+        and skipped, never fatal."""
+        if self.dashboard is None or not hasattr(
+            self.dashboard, "pop_pending_tunables"
+        ):
+            return False
+        values = self.dashboard.pop_pending_tunables()
+        applied = False
+        if values:
+            known = {
+                k: v for k, v in values.items()
+                if hasattr(self.tunables, k)
+            }
+            unknown = sorted(set(values) - set(known))
+            if unknown:
+                print(
+                    f"# dashboard reconfigure: ignoring unknown keys "
+                    f"{unknown}",
+                    flush=True,
+                )
+            if known:
+                self.tunables = self.tunables.replace_values(**known)
+                print(f"# dashboard reconfigure: applied {known}",
+                      flush=True)
+                applied = True
+        self.dashboard.set_tunables_view({
+            k: float(np.asarray(getattr(self.tunables, k)))
+            for k in self.tunables.__dataclass_fields__
+        })
+        return applied
+
     def _feeder(self, sequence: Iterable, token: "_RunToken"):
         try:
             for left, right, t in sequence:
@@ -216,6 +255,7 @@ class PipelineRunner:
                     continue
                 left, right, t = frame
                 self._maybe_reload_tunables()
+                self._apply_dashboard_tunables()
                 with self.timer.stage("dispatch"):
                     state, out = detect_step(
                         self.flow_params,
@@ -299,6 +339,7 @@ class PipelineRunner:
                 frame_valid=bool(out.frame_valid),
                 cluster_overflow=int(np.asarray(out.cluster_overflow)),
                 tracker_saturated=bool(np.asarray(out.tracker_saturated)),
+                harvest_wall=time.time(),
             )
             if result.cluster_overflow or result.tracker_saturated:
                 import sys as _sys

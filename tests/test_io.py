@@ -892,3 +892,200 @@ def test_live_dashboard_serves_products():
             assert png.startswith(b"\x89PNG"), name
     finally:
         dash.close()
+
+
+def test_dashboard_retune_endpoint():
+    """Dynamic-reconfigure loop closure (VERDICT r4 #8): knob values
+    POSTed to /tunables queue on the dashboard, the runner applies them
+    between frames via Tunables.replace_values, and /tunables.json then
+    reports the applied values."""
+    import json
+    import urllib.request
+
+    from moving_object_detector_tpu.config import (
+        EgoMotionConfig, FlowNetConfig, PipelineConfig, SGMConfig,
+    )
+    from moving_object_detector_tpu.io.dashboard import LiveDashboard
+    from moving_object_detector_tpu.io.readers import SyntheticStereoSequence
+    from moving_object_detector_tpu.io.runner import PipelineRunner
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet, init_pwc_params,
+    )
+    from moving_object_detector_tpu.types import StereoModel
+
+    h, w = 32, 64
+    config = PipelineConfig(
+        height=h, width=w,
+        flownet=FlowNetConfig(feature_channels=(8, 16, 32), search_range=2,
+                              use_context_net=False, dtype="float32"),
+        sgm=SGMConfig(max_disparity=16),
+        egomotion=EgoMotionConfig(max_features=32, nms_radius=2,
+                                  ransac_hypotheses=8, lk_pyramid_levels=1,
+                                  min_inliers=4),
+    )
+    stereo = StereoModel.create(fx=50.0, fy=50.0, cx=w / 2, cy=h / 2,
+                                baseline=0.5)
+    dash = LiveDashboard(0, host="127.0.0.1")
+    try:
+        base = f"http://127.0.0.1:{dash.port}"
+        # Queue a retune (plus one unknown key, which must be skipped,
+        # never fatal) BEFORE the run; the runner drains it between
+        # frames.
+        req = urllib.request.Request(
+            base + "/tunables",
+            data=json.dumps({
+                "dynamic_speed": 0.77, "cluster_size": 123,
+                "not_a_knob": 1.0,
+            }).encode(),
+            method="POST",
+        )
+        resp = json.loads(urllib.request.urlopen(req, timeout=5).read())
+        assert resp == {"queued": ["cluster_size", "dynamic_speed",
+                                   "not_a_knob"]}
+
+        model = PWCNet(config=config.flownet)
+        params = init_pwc_params(model, h, w)
+        runner = PipelineRunner(config, stereo, params, model,
+                                dashboard=dash)
+        seq = SyntheticStereoSequence(height=h, width=w, fx=50.0,
+                                      n_frames=2)
+        runner.run(seq, max_frames=2)
+
+        import numpy as np
+        assert float(np.asarray(runner.tunables.dynamic_speed)) == (
+            pytest.approx(0.77)
+        )
+        assert int(np.asarray(runner.tunables.cluster_size)) == 123
+        view = json.loads(
+            urllib.request.urlopen(base + "/tunables.json", timeout=5).read()
+        )
+        assert view["dynamic_speed"] == pytest.approx(0.77)
+        assert view["cluster_size"] == 123.0
+        # Malformed POST bodies are a 400, not a crash.
+        bad = urllib.request.Request(
+            base + "/tunables", data=b"[1,2]", method="POST"
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=5)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        dash.close()
+
+
+def test_realtime_socket_replay_drop_oldest_latency():
+    """VERDICT r4 #6: replay a recorded sequence through the SOCKET reader
+    at real time into the pipeline with the (native, when available) ring
+    in drop-oldest mode. Asserts (a) every frame that reaches the pipeline
+    is uncorrupted (frame id steganographed into both images and the
+    timestamp must agree), (b) stream order is preserved under drops, and
+    (c) end-to-end capture->published latency is measured and finite."""
+    import socket
+    import time as _time
+
+    from moving_object_detector_tpu.config import (
+        EgoMotionConfig, FlowNetConfig, PipelineConfig, SGMConfig,
+    )
+    from moving_object_detector_tpu.io.runner import PipelineRunner
+    from moving_object_detector_tpu.models.pwc_net import (
+        PWCNet, init_pwc_params,
+    )
+    from moving_object_detector_tpu.types import StereoModel
+
+    h, w = 32, 64
+    n_send, fps = 12, 30.0
+    rng_ = np.random.default_rng(7)
+    base = rng_.uniform(0.2, 0.8, (h, w)).astype(np.float32)
+    t0 = _time.time()
+
+    def frame_k(k):
+        """Panned texture with the frame id written into the top-left
+        8 px as a binary code (values 0 or 1 survive the uint8 wire
+        exactly)."""
+        img = np.roll(base, k, axis=1).copy()
+        code = [(k >> b) & 1 for b in range(8)]
+        img[0, :8] = np.asarray(code, np.float32)
+        return img
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    sent_times = {}
+
+    def sensor():
+        conn, _ = srv.accept()
+        with conn:
+            for k in range(n_send):
+                img = frame_k(k)
+                t = _time.time() - t0
+                sent_times[k] = t
+                readers.write_socket_frame(conn, img, img, t)
+                _time.sleep(1.0 / fps)
+        srv.close()
+
+    def decode_id(img):
+        bits = np.round(np.asarray(img[0, :8]) * 255.0) / 255.0
+        assert set(np.round(bits * 255).astype(int)) <= {0, 255}, bits
+        return int(sum((int(round(b)) << i) for i, b in enumerate(bits)))
+
+    seen_ids = []
+
+    def checked(seq):
+        """Integrity tap between the socket reader and the ring: the id
+        code must match in left, right AND the timestamp."""
+        for left, right, t in seq:
+            k = decode_id(left)
+            assert decode_id(right) == k
+            assert abs(t - sent_times[k]) < 1e-6, (t, k)
+            # Payload integrity beyond the code row: the wire is uint8,
+            # so compare against the quantized source texture.
+            exp = np.round(frame_k(k) * 255.0) / 255.0
+            np.testing.assert_allclose(left[1:], exp[1:], atol=1e-6)
+            seen_ids.append(k)
+            yield left, right, t
+
+    config = PipelineConfig(
+        height=h, width=w,
+        flownet=FlowNetConfig(
+            feature_channels=(8, 16, 32), search_range=2,
+            use_context_net=False, dtype="float32",
+        ),
+        sgm=SGMConfig(max_disparity=16),
+        egomotion=EgoMotionConfig(
+            max_features=64, nms_radius=2, ransac_hypotheses=8,
+            lk_pyramid_levels=1, min_inliers=4,
+        ),
+    )
+    stereo = StereoModel.create(fx=50.0, fy=50.0, cx=w / 2, cy=h / 2,
+                                baseline=0.5)
+    model = PWCNet(config=config.flownet)
+    params = init_pwc_params(model, h, w)
+    # The ZED operating mode: capacity-1 latest-wins ring
+    # (zed_common.yaml:24-25 at HD720@15 -> queue_size 1 semantics).
+    runner = PipelineRunner(config, stereo, params, model,
+                            ring_capacity=1, drop_oldest=True)
+    th = threading.Thread(target=sensor)
+    th.start()
+    seq = readers.SocketStereoSequence("127.0.0.1", port, idle_timeout=5.0)
+    results = runner.run(checked(seq))
+    th.join()
+
+    assert 1 <= len(results) <= n_send
+    # Order preserved under drops: stream times strictly increase.
+    times = [r.time for r in results]
+    assert times == sorted(times)
+    assert seen_ids == sorted(seen_ids)
+    # Every processed frame maps back to a sent frame.
+    assert set(times) <= set(sent_times.values())
+    # End-to-end latency (capture wall-clock -> harvest wall-clock) is
+    # measured, positive, and finite. No tight bound on CPU (first frame
+    # includes jit compile); the TPU replay script asserts budgets.
+    lat = [(r.harvest_wall - t0) - r.time for r in results]
+    assert all(np.isfinite(lat)) and all(x > 0 for x in lat)
+    drops = runner.ring.dropped()
+    if native_available():
+        # frames sent = processed + dropped-in-ring + dropped-by-feeder
+        # (the feeder counts only ring drops; a conservative bound).
+        assert drops <= n_send - len(results)
