@@ -12,7 +12,7 @@ declare -A CHUNKS=(
   [core]="test_alg test_assignment test_geometry test_eval test_io test_data_synth test_checkpoint"
   [kernels]="test_sgm test_sgm_pallas test_sgm_pallas2 test_gather_pallas test_flow_corr_pallas"
   [detect]="test_clusterer test_clustering_pallas test_sceneflow test_sceneflow_fused test_scenes test_tracker test_egomotion"
-  [pipeline]="test_pipeline test_golden test_golden_multi test_pwc_net test_tunables test_prune"
+  [pipeline]="test_pipeline test_golden test_golden_multi test_pwc_net test_tunables test_prune test_occlusion_cue"
   [parallel]="test_sharding test_spatial test_multihost"
   [quality]="test_flow_quality test_real_imagery test_real_sequence"
 )
@@ -30,21 +30,61 @@ for f in tests/test_*.py; do
 done
 [ "$missing" -ne 0 ] && exit 2
 
-fail=0
-total_pass=0
-for name in core kernels detect pipeline parallel quality; do
-  paths=""
-  for base in ${CHUNKS[$name]}; do
+# JOBS=N runs chunks as N concurrent pytest processes (default 1:
+# sequential, minimal peak memory). On a multi-core laptop JOBS=3 roughly
+# halves wall time; each chunk's output is buffered and printed whole so
+# interleaving stays readable.
+JOBS=${JOBS:-1}
+names=(core kernels detect pipeline parallel quality)
+
+chunk_paths() {
+  local paths=""
+  for base in ${CHUNKS[$1]}; do
     [ -f "tests/$base.py" ] && paths+="tests/$base.py "
   done
-  [ -z "$paths" ] && continue
-  echo "=== chunk $name: $paths"
-  # shellcheck disable=SC2086
-  python -m pytest $paths -q "$@"
-  rc=$?
-  if [ $rc -ne 0 ]; then
-    echo "chunk $name FAILED (rc=$rc)" >&2
-    fail=1
-  fi
-done
+  echo "$paths"
+}
+
+fail=0
+if [ "$JOBS" -le 1 ]; then
+  for name in "${names[@]}"; do
+    paths=$(chunk_paths "$name")
+    [ -z "$paths" ] && continue
+    echo "=== chunk $name: $paths"
+    # shellcheck disable=SC2086
+    python -m pytest $paths -q "$@"
+    rc=$?
+    if [ $rc -ne 0 ]; then
+      echo "chunk $name FAILED (rc=$rc)" >&2
+      fail=1
+    fi
+  done
+else
+  tmpdir=$(mktemp -d)
+  trap 'rm -rf "$tmpdir"' EXIT
+  running=0
+  declare -A PIDS=()
+  for name in "${names[@]}"; do
+    paths=$(chunk_paths "$name")
+    [ -z "$paths" ] && continue
+    # shellcheck disable=SC2086
+    python -m pytest $paths -q "$@" >"$tmpdir/$name.log" 2>&1 &
+    PIDS[$name]=$!
+    running=$((running + 1))
+    if [ "$running" -ge "$JOBS" ]; then
+      wait -n || true  # reap one; per-chunk rc checked below
+      running=$((running - 1))
+    fi
+  done
+  for name in "${!PIDS[@]}"; do
+    rc=0
+    wait "${PIDS[$name]}" || rc=$?
+    echo "=== chunk $name (rc=$rc)"
+    cat "$tmpdir/$name.log"
+    if [ $rc -ne 0 ]; then
+      echo "chunk $name FAILED (rc=$rc)" >&2
+      fail=1
+    fi
+  done
+fi
 exit $fail
