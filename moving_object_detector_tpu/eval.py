@@ -210,6 +210,8 @@ def evaluate_planar_sequence(
     min_visible_frac: float = 1.5,
     hit_margin_px: int = 16,
     details: bool = False,
+    flow_oracle: bool = False,
+    disparity_oracle: bool = False,
 ) -> dict:
     """Run the FULL pipeline over a PlanarSceneSequence and score every
     product against the renderer's analytic ground truth (io/scenes.py).
@@ -226,6 +228,13 @@ def evaluate_planar_sequence(
     (an occluded or frame-exiting object is not a miss). A detection is a
     hit for the GT object whose (padded) visible-pixel box contains its
     projected center; matching none of the objects makes it a phantom.
+
+    ``flow_oracle``/``disparity_oracle`` replace the corresponding
+    perception stage's output with the renderer's analytic ground truth
+    (detect_step's flow_override/disparity_override). Running the four
+    combinations attributes the published-velocity error budget between
+    flow error, disparity (subpixel) error, and the downstream
+    scene-flow/median-selection terms (VERDICT r4 weak #6 diagnosis).
 
     Returns a flat dict of aggregate metrics.
     """
@@ -268,12 +277,31 @@ def evaluate_planar_sequence(
         fx=seq.fx, fy=seq.fy, cx=seq.cx, cy=seq.cy, baseline=seq.baseline
     )
     state = PipelineState.create(config)
-    step = jax.jit(
-        lambda s, l, r, t: detect_step(
-            flow_params, s, l, r, t, stereo, config,
-            flow_model=flow_model,
+    if flow_oracle or disparity_oracle:
+        from .types import DisparityImage
+
+        step = jax.jit(
+            lambda s, l, r, t, fo, do: detect_step(
+                flow_params, s, l, r, t, stereo, config,
+                flow_model=flow_model,
+                flow_override=fo if flow_oracle else None,
+                disparity_override=(
+                    DisparityImage.create(
+                        do, stereo.cam.fx, stereo.baseline,
+                        min_disparity=0.0,
+                        max_disparity=float(config.sgm.max_disparity),
+                    )
+                    if disparity_oracle else None
+                ),
+            )
         )
-    )
+    else:
+        step = jax.jit(
+            lambda s, l, r, t: detect_step(
+                flow_params, s, l, r, t, stereo, config,
+                flow_model=flow_model,
+            )
+        )
 
     d1s, flows, rot_errs, trans_errs = [], [], [], []
     detail_frames = []
@@ -282,9 +310,18 @@ def evaluate_planar_sequence(
     ego_fail = 0
     for k in range(seq.n_frames):
         left, right, t, truth = seq.frame(k)
-        state, out = step(
-            state, jnp.asarray(left), jnp.asarray(right), jnp.float32(t)
-        )
+        if flow_oracle or disparity_oracle:
+            state, out = step(
+                state, jnp.asarray(left), jnp.asarray(right),
+                jnp.float32(t),
+                jnp.asarray(truth["flow"], jnp.float32),
+                jnp.asarray(truth["disparity"], jnp.float32),
+            )
+        else:
+            state, out = step(
+                state, jnp.asarray(left), jnp.asarray(right),
+                jnp.float32(t)
+            )
         d1s.append(
             disparity_d1(np.asarray(out.disparity.disparity),
                          truth["disparity"])
