@@ -261,6 +261,15 @@ class FlowNetConfig:
     estimator_channels: Tuple[int, ...] = (128, 128, 96, 64, 32)
     context_channels: Tuple[int, ...] = (128, 128, 128, 96, 64, 32)
     use_context_net: bool = True
+    # Occlusion cue (VERDICT r4 #4): append the mean |f1 - warp(f2)|
+    # residual as one extra estimator-input channel per level. High
+    # exactly where the warped match is hidden behind an occluding edge
+    # — the measured failure mode of loss-only training (paste-probe
+    # residual concentrated on the OCCLUDING half). Off by default;
+    # inferred from checkpoint shapes at load, and an existing checkpoint
+    # can be upgraded exactly (zero-init new kernel rows,
+    # scripts/augment_flow_occlusion.py) before finetuning.
+    occlusion_cue: bool = False
     dtype: str = "bfloat16"
     # Correlation-layer backend: "pallas" = fused VMEM kernel
     # (ops/flow_corr_pallas.py), "xla" = shift-and-reduce, "auto" = pallas

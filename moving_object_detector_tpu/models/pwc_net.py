@@ -210,7 +210,24 @@ class PWCNet(nn.Module):
                 cfg.corr_backend,
             ).astype(dt)
             corr = nn.leaky_relu(corr, 0.1)
-            x = jnp.concatenate([corr, f1] + corr_in, axis=-1)
+            extra = []
+            if cfg.occlusion_cue:
+                # Occlusion cue: mean |f1 - warp(f2)| over channels. Large
+                # exactly where the true match is hidden behind an
+                # occluding edge (the warped features then show the
+                # occluder, not the match) — the signal the estimator
+                # needs to extrapolate boundary-owned flow instead of
+                # averaging mismatched evidence. Appended LAST so a
+                # cue-less checkpoint upgrades exactly by zero-padding
+                # each estimator's first-conv kernel
+                # (scripts/augment_flow_occlusion.py).
+                occ = jnp.mean(
+                    jnp.abs(f1.astype(jnp.float32)
+                            - warped.astype(jnp.float32)),
+                    axis=-1, keepdims=True,
+                ).astype(dt)
+                extra = [occ]
+            x = jnp.concatenate([corr, f1] + corr_in + extra, axis=-1)
             feat, up, res_flow = FlowEstimator(
                 dtype=dt, channels=cfg.estimator_channels
             )(x)
@@ -293,8 +310,18 @@ def infer_flow_config(
         int(shapes[f"{est}ConvBlock_0/Conv_0/kernel"][-2])
         - feature_channels[-1]
     )
+    # The occlusion cue adds exactly one estimator-input channel per
+    # level, so the top-level input width is corr + features [+ 1]; a
+    # width that is one past a perfect odd square identifies a cue-bearing
+    # checkpoint (both cases are unambiguous: consecutive odd squares
+    # differ by >= 8).
     side = math.isqrt(corr_dim)
-    assert side * side == corr_dim and side % 2 == 1, corr_dim
+    if side * side == corr_dim and side % 2 == 1:
+        occlusion_cue = False
+    else:
+        side = math.isqrt(corr_dim - 1)
+        assert side * side == corr_dim - 1 and side % 2 == 1, corr_dim
+        occlusion_cue = True
     search_range = (side - 1) // 2
 
     return dataclasses.replace(
@@ -306,6 +333,7 @@ def infer_flow_config(
         use_context_net=use_context,
         search_range=search_range,
         in_channels=in_channels,
+        occlusion_cue=occlusion_cue,
     )
 
 
