@@ -18,7 +18,11 @@ ThreadingHTTPServer on a daemon thread serving
                      between frames via Tunables.replace_values — the
                      full dynamic_reconfigure loop (observe AND adjust
                      in one pane, like rqt reconfigure over
-                     Clusterer.cfg / MovingObjectTracker.cfg).
+                     Clusterer.cfg / MovingObjectTracker.cfg),
+* ``/sim`` (POST)      — steer an InteractiveSceneSequence (io/scenes.py)
+                     when one is attached (set_sim_handler): WASD/QE
+                     drive the camera, arrow keys the object — the
+                     Gazebo joystick-parity loop (README.md:54-68).
 
 Rendering happens on the harvest path (one frame behind the device, like
 the file exports) and only encodes products a browser asked for recently
@@ -51,6 +55,11 @@ _PAGE = """<!DOCTYPE html>
 <body>
 <h3>moving_object_detector_tpu &mdash; live run</h3>
 <div id="status">waiting for frames...</div>
+<details id="drivebox" style="display:none"><summary style="color:#9ac">
+ drive (interactive sim): WASD = camera x/z, Q/E = yaw,
+ arrows = object, space = stop</summary>
+ <div id="drivestate"></div>
+</details>
 <details><summary style="color:#c9a">tunables (dynamic_reconfigure)</summary>
  <form id="tunables" onsubmit="return applyTunables(event)">
   <div id="knobs"></div>
@@ -110,6 +119,48 @@ _PAGE = """<!DOCTYPE html>
      .catch(e => document.getElementById("tunmsg").textContent = e);
    return false;
  }}
+ // Interactive-sim driving (the Gazebo joystick analog): hold a key to
+ // command a velocity, release to stop that axis. 409 = no sim attached
+ // (panel stays hidden).
+ const CAM_V = 1.0, YAW_V = 0.3, OBJ_V = 1.5;
+ let simCmd = {{cam_velocity: [0, 0, 0], yaw_rate: 0,
+               obj_velocity: [[0, 0, 0]]}};
+ function simPost() {{
+   fetch("/sim", {{method: "POST", body: JSON.stringify(simCmd)}})
+     .then(r => {{
+       if (r.status === 409) return null;
+       document.getElementById("drivebox").style.display = "";
+       return r.json();
+     }})
+     .then(s => {{ if (s) document.getElementById("drivestate").textContent
+                    = JSON.stringify(s); }})
+     .catch(() => {{}});
+ }}
+ simPost();  // probe once: reveals the panel when a sim is attached
+ const KEYMAP = {{
+   w: ["cam", 2, CAM_V], s: ["cam", 2, -CAM_V],
+   a: ["cam", 0, -CAM_V], d: ["cam", 0, CAM_V],
+   q: ["yaw", 0, -YAW_V], e: ["yaw", 0, YAW_V],
+   ArrowRight: ["obj", 0, OBJ_V], ArrowLeft: ["obj", 0, -OBJ_V],
+   ArrowUp: ["obj", 2, OBJ_V], ArrowDown: ["obj", 2, -OBJ_V],
+ }};
+ function simKey(ev, down) {{
+   if (ev.target.tagName === "INPUT") return;
+   if (ev.key === " " && down) {{
+     simCmd = {{cam_velocity: [0, 0, 0], yaw_rate: 0,
+               obj_velocity: [[0, 0, 0]]}};
+     simPost(); ev.preventDefault(); return;
+   }}
+   const m = KEYMAP[ev.key];
+   if (!m) return;
+   const v = down ? m[2] : 0;
+   if (m[0] === "cam") simCmd.cam_velocity[m[1]] = v;
+   else if (m[0] === "yaw") simCmd.yaw_rate = v;
+   else simCmd.obj_velocity[0][m[1]] = v;
+   simPost(); ev.preventDefault();
+ }}
+ document.addEventListener("keydown", ev => simKey(ev, true));
+ document.addEventListener("keyup", ev => simKey(ev, false));
 </script>
 </body></html>
 """
@@ -188,6 +239,9 @@ class LiveDashboard:
         # the runner-pushed current values served at /tunables.json.
         self._pending_tunables: dict = {}
         self._tunables_view: dict = {}
+        # Interactive-sim steering: POST /sim forwards to this handler
+        # (InteractiveSceneSequence.command — itself thread-safe).
+        self._sim_handler = None
         dash = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -221,7 +275,7 @@ class LiveDashboard:
 
             def do_POST(self):
                 path = self.path.split("?", 1)[0]
-                if path != "/tunables":
+                if path not in ("/tunables", "/sim"):
                     self._send(404, "text/plain", b"unknown path")
                     return
                 try:
@@ -232,6 +286,21 @@ class LiveDashboard:
                 except (ValueError, OSError) as e:
                     self._send(400, "application/json",
                                json.dumps({"error": str(e)}).encode())
+                    return
+                if path == "/sim":
+                    handler = dash._sim_handler
+                    if handler is None:
+                        self._send(409, "application/json",
+                                   b'{"error": "no interactive sim"}')
+                        return
+                    try:
+                        state = handler(**values)
+                    except (TypeError, ValueError) as e:
+                        self._send(400, "application/json",
+                                   json.dumps({"error": str(e)}).encode())
+                        return
+                    self._send(200, "application/json",
+                               json.dumps(state).encode())
                     return
                 with dash._lock:
                     dash._pending_tunables.update(values)
@@ -252,6 +321,10 @@ class LiveDashboard:
             target=self._server.serve_forever, daemon=True
         )
         self._thread.start()
+
+    def set_sim_handler(self, handler) -> None:
+        """Attach an interactive-scene command callback (POST /sim)."""
+        self._sim_handler = handler
 
     def pop_pending_tunables(self) -> dict:
         """Drain queued retune values (runner, between frames)."""

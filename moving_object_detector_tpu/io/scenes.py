@@ -501,3 +501,119 @@ def validation_scenes(h=192, w=448, fx=300.0, textures=None, fps=10.0):
         fps=fps, n_frames=8,
     )
     return scenes
+
+
+class InteractiveSceneSequence(PlanarSceneSequence):
+    """Human-DRIVABLE scene: the Gazebo joystick parity item.
+
+    The reference's simulation harness is a factory world with a
+    joystick-driven stereo robot and a movable object a human steers
+    while watching detections in rviz (README.md:54-68,
+    docker/dockerfile:121-124). This is the in-process analog: the same
+    raycast renderer, but camera / object velocities are COMMANDS
+    integrated per frame instead of fixed trajectories. ``command()`` is
+    thread-safe and wired to the live dashboard's POST /sim endpoint
+    (io/dashboard.py) — drive with WASD/arrow buttons in the same pane
+    that shows the detections.
+
+    Commands (any subset per call):
+      cam_velocity: (3,) m/s world-frame camera translation rate
+      yaw_rate:     rad/s about +y
+      obj_velocity: list of (3,) m/s, one per scene object (None skips)
+
+    ``realtime=True`` paces ``__iter__`` to ``fps`` wall-clock (drop-
+    oldest ring semantics upstream handle a slower consumer); False
+    renders as fast as pulled (tests).
+    """
+
+    def __init__(self, *args, realtime: bool = True, **kw):
+        import threading
+
+        kw.setdefault("n_frames", 10 ** 9)
+        super().__init__(*args, **kw)
+        self._lock = threading.Lock()
+        self._cam_pos = np.zeros(3)
+        self._yaw = 0.0
+        self._obj_pos = [
+            np.asarray(o.center0, np.float64) for o in self.objects
+        ]
+        self._cmd_cam = np.asarray(self.cam_velocity, np.float64).copy()
+        self._cmd_yaw = float(self.yaw_rate)
+        self._cmd_obj = [
+            np.asarray(o.velocity, np.float64).copy() for o in self.objects
+        ]
+        self.realtime = bool(realtime)
+        self._stop = False
+
+    # -- command channel (any thread) -----------------------------------
+    def command(self, cam_velocity=None, yaw_rate=None, obj_velocity=None,
+                **_ignored) -> dict:
+        """Update steering commands; returns the applied state. Unknown
+        keys are ignored (a live UI must not be able to crash the sim)."""
+        with self._lock:
+            if cam_velocity is not None:
+                v = np.asarray(cam_velocity, np.float64).reshape(3)
+                self._cmd_cam = v
+            if yaw_rate is not None:
+                self._cmd_yaw = float(yaw_rate)
+            if obj_velocity is not None:
+                for i, v in enumerate(obj_velocity):
+                    if v is not None and i < len(self._cmd_obj):
+                        self._cmd_obj[i] = np.asarray(
+                            v, np.float64).reshape(3)
+            return self.state()
+
+    def state(self) -> dict:
+        return {
+            "cam_velocity": list(self._cmd_cam),
+            "yaw_rate": self._cmd_yaw,
+            "obj_velocity": [list(v) for v in self._cmd_obj],
+            "cam_pos": list(self._cam_pos),
+            "yaw": self._yaw,
+            "obj_pos": [list(p) for p in self._obj_pos],
+        }
+
+    def stop(self):
+        self._stop = True
+
+    # -- integrated poses override the fixed trajectories ----------------
+    def camera_pose(self, k: int):
+        # k is ignored: the pose is integrated state (gt_motion/truth are
+        # not produced on the interactive path).
+        return _yaw_matrix(self._yaw), self._cam_pos.copy()
+
+    def _advance(self, dt: float):
+        with self._lock:
+            self._cam_pos = self._cam_pos + self._cmd_cam * dt
+            self._yaw += self._cmd_yaw * dt
+            for i in range(len(self._obj_pos)):
+                self._obj_pos[i] = (
+                    self._obj_pos[i] + self._cmd_obj[i] * dt
+                )
+
+    def __iter__(self):
+        import time as _time
+
+        k = 0
+        t0 = _time.time()
+        period = 1.0 / self.fps
+        while k < self.n_frames and not self._stop:
+            with self._lock:
+                # Pin each object at its integrated position (center(t)
+                # must return it for any t the renderer uses).
+                self.objects = [
+                    dataclasses.replace(
+                        o, center0=tuple(self._obj_pos[i]),
+                        velocity=(0.0, 0.0, 0.0),
+                    )
+                    for i, o in enumerate(self.objects)
+                ]
+            left = self._cast(k, right=False)[0]
+            right = self._cast(k, right=True)[0]
+            yield left, right, k * period
+            self._advance(period)
+            k += 1
+            if self.realtime:
+                lag = t0 + k * period - _time.time()
+                if lag > 0:
+                    _time.sleep(lag)

@@ -27,7 +27,8 @@ import sys
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--source",
-                   choices=["synthetic", "kitti", "npz", "live", "socket"],
+                   choices=["synthetic", "kitti", "npz", "live", "socket",
+                            "interactive"],
                    default="synthetic")
     p.add_argument("--left-dir",
                    help="left image directory (kitti/live sources)")
@@ -163,6 +164,31 @@ def main(argv=None) -> int:
             baseline=args.baseline, fps=args.fps,
             n_frames=args.frames + done,
         )
+    elif args.source == "interactive":
+        # Human-drivable scene (Gazebo joystick parity, README.md:54-68):
+        # steer camera + object from the dashboard's drive panel
+        # (--serve-port) or POST /sim; --frames bounds the session.
+        import numpy as _np
+
+        from .io.scenes import (
+            InteractiveSceneSequence,
+            PlaneObject,
+            _procedural_texture,
+        )
+
+        _rng = _np.random.default_rng(5)
+        seq = InteractiveSceneSequence(
+            args.height, args.width, fx=args.fx, baseline=args.baseline,
+            bg_depth=12.0,
+            objects=[PlaneObject(
+                center0=(0.0, 0.0, 6.0),
+                size=(110 * 6.0 / args.fx, 70 * 6.0 / args.fx),
+                velocity=(0.0, 0.0, 0.0),
+                texture=_procedural_texture(_rng, 96, 128),
+            )],
+            fps=args.fps, n_frames=(args.frames or 10 ** 9) + done,
+            realtime=True,
+        )
     elif args.source == "kitti":
         if not (args.left_dir and args.right_dir):
             print("--left-dir/--right-dir required for kitti", file=sys.stderr)
@@ -230,7 +256,7 @@ def main(argv=None) -> int:
     # Live sources get the reference's queue_size=1 drop-stale semantics
     # (scene_flow_constructor.cpp:55-62): when the pipeline can't keep up
     # with the sensor, stale frames are dropped, not queued.
-    live = args.source in ("live", "socket")
+    live = args.source in ("live", "socket", "interactive")
     dashboard = None
     if args.serve_port is not None:
         from .io.dashboard import LiveDashboard
@@ -238,6 +264,10 @@ def main(argv=None) -> int:
         dashboard = LiveDashboard(args.serve_port, host=args.serve_host)
         print(f"# live dashboard: http://{args.serve_host}:"
               f"{dashboard.port}/", file=sys.stderr)
+        if args.source == "interactive":
+            dashboard.set_sim_handler(seq.command)
+            print("# interactive sim: drive with WASD/QE + arrows on the "
+                  "dashboard page (POST /sim)", file=sys.stderr)
     runner = PipelineRunner(
         config, stereo, params, model,
         export_dir=args.export_dir, export_every=args.export_every,

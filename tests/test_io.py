@@ -1089,3 +1089,35 @@ def test_realtime_socket_replay_drop_oldest_latency():
         # frames sent = processed + dropped-in-ring + dropped-by-feeder
         # (the feeder counts only ring drops; a conservative bound).
         assert drops <= n_send - len(results)
+
+
+def test_dashboard_sim_endpoint():
+    """POST /sim: 409 without an attached sim; with a handler, commands
+    forward and the returned state echoes back."""
+    import json
+    import urllib.request
+
+    from moving_object_detector_tpu.io.dashboard import LiveDashboard
+
+    dash = LiveDashboard(0, host="127.0.0.1")
+    try:
+        base = f"http://127.0.0.1:{dash.port}"
+        req = urllib.request.Request(
+            base + "/sim", data=b'{"yaw_rate": 0.2}', method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=5)
+            assert False, "expected 409"
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+
+        seen = {}
+
+        def handler(**kw):
+            seen.update(kw)
+            return {"ok": True, **kw}
+
+        dash.set_sim_handler(handler)
+        resp = json.loads(urllib.request.urlopen(req, timeout=5).read())
+        assert resp["ok"] is True and seen == {"yaw_rate": 0.2}
+    finally:
+        dash.close()

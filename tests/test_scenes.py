@@ -205,3 +205,54 @@ def test_sloped_background_ego_motion_end_to_end():
     assert m["ego_failures"] == 0
     assert m["ego_rot_err_deg"] < 0.35, m["ego_rot_err_deg"]
     assert m["ego_trans_err_m"] < 0.13, m["ego_trans_err_m"]
+
+
+def test_interactive_scene_commands_steer():
+    """InteractiveSceneSequence (Gazebo joystick parity): zero commands
+    hold the scene still; commanded object / camera velocities move the
+    rendered content accordingly."""
+    import itertools
+
+    import numpy as np
+
+    from moving_object_detector_tpu.io.scenes import (
+        InteractiveSceneSequence, PlaneObject, _procedural_texture,
+    )
+
+    rng = np.random.default_rng(3)
+    h, w, fx = 64, 160, 120.0
+    seq = InteractiveSceneSequence(
+        h, w, fx=fx, bg_depth=12.0,
+        objects=[PlaneObject(
+            center0=(0.0, 0.0, 6.0), size=(2.0, 1.2),
+            velocity=(0.0, 0.0, 0.0),
+            texture=_procedural_texture(rng, 64, 96),
+        )],
+        fps=10.0, realtime=False,
+    )
+    it = iter(seq)
+    l0, _, t0 = next(it)
+    l1, _, t1 = next(it)
+    assert t1 > t0
+    np.testing.assert_array_equal(l0, l1)  # zero commands: static scene
+
+    # Drive the object laterally: +x world velocity -> content changes,
+    # and the integrated object position advances by v * dt per frame.
+    state = seq.command(obj_velocity=[[3.0, 0.0, 0.0]])
+    assert state["obj_velocity"][0][0] == 3.0
+    l2, _, _ = next(it)   # advance applies AFTER the yield: l2 == l1
+    l3, _, _ = next(it)
+    assert not np.array_equal(l2, l3)
+    assert seq.state()["obj_pos"][0][0] > 0.0
+
+    # Stop the object, drive the camera: global image change.
+    seq.command(obj_velocity=[[0.0, 0.0, 0.0]],
+                cam_velocity=[0.0, 0.0, 1.0])
+    l4, _, _ = next(it)
+    l5, _, _ = next(it)
+    assert not np.array_equal(l4, l5)
+    assert seq.state()["cam_pos"][2] > 0.0
+    # Unknown command keys are ignored, not fatal (live UI contract).
+    seq.command(warp_drive=9)
+    seq.stop()
+    assert len(list(itertools.islice(it, 5))) <= 1
