@@ -9,7 +9,7 @@ set -u
 cd "$(dirname "$0")/.."
 
 declare -A CHUNKS=(
-  [core]="test_alg test_assignment test_geometry test_eval test_io test_data_synth test_checkpoint"
+  [core]="test_alg test_assignment test_geometry test_eval test_io test_data_synth test_checkpoint test_frames"
   [kernels]="test_sgm test_sgm_pallas test_sgm_pallas2 test_gather_pallas test_flow_corr_pallas"
   [detect]="test_clusterer test_clustering_pallas test_sceneflow test_sceneflow_fused test_scenes test_tracker test_egomotion"
   [pipeline]="test_pipeline test_golden test_golden_multi test_pwc_net test_tunables test_prune test_occlusion_cue"
