@@ -88,6 +88,10 @@ def main(argv=None):
                          "every real stage a data dependency: detections "
                          "require clustering require scene flow require "
                          "disparity+flow+ego-motion.")
+    ap.add_argument("--cc-crop-windows", type=int, default=None,
+                    help="override ClustererConfig.cc_crop_windows "
+                         "(1 = single-window crop, 2 = column-gap "
+                         "two-window split; default from config)")
     ap.add_argument("--cc-crop", type=int, nargs=2, default=None,
                     metavar=("H", "W"),
                     help="override the clusterer dynamic-extent crop "
@@ -134,16 +138,18 @@ def main(argv=None):
     config = PipelineConfig(height=h, width=w,
                             flow_input_scale=args.flow_input_scale,
                             sgm_input_scale=args.sgm_input_scale)
-    if args.cc_crop is not None:
+    if args.cc_crop is not None or args.cc_crop_windows is not None:
         import dataclasses
 
+        repl = {}
+        if args.cc_crop is not None:
+            repl["cc_crop_h"] = args.cc_crop[0]
+            repl["cc_crop_w"] = args.cc_crop[1]
+        if args.cc_crop_windows is not None:
+            repl["cc_crop_windows"] = args.cc_crop_windows
         config = dataclasses.replace(
             config,
-            clusterer=dataclasses.replace(
-                config.clusterer,
-                cc_crop_h=args.cc_crop[0],
-                cc_crop_w=args.cc_crop[1],
-            ),
+            clusterer=dataclasses.replace(config.clusterer, **repl),
         )
     stereo = StereoModel.create(
         fx=721.5, fy=721.5, cx=w / 2.0, cy=h / 2.0, baseline=0.54
