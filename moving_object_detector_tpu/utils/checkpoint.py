@@ -110,10 +110,27 @@ _SCALE2_GATED_BASENAMES = frozenset({
                           # 2026-08-21 on this exported file: 384x896
                           # scale-2 EPE 2.061 (<4.5); detection 9/9 vel
                           # 0.392 (scale 1) / 7/7 vel 0.494 (serving),
-                          # 0 phantoms. NOT the default: v6m3 is more
-                          # accurate (serving vel 0.263); p1 is the
-                          # explicit full-res speed option (128.6 vs
-                          # 117.9 pairs/s at flow1+sgm1).
+                          # 0 phantoms. Superseded as the speed option
+                          # by pwc_p3 (faster AND more accurate); kept
+                          # as an explicit-path fallback.
+    "pwc_p3.fp16.npz",    # deep-pruned pwc_v6m3 (est 64,64,48,32,16 /
+                          # ctx 64,64,64,48,32,16 = 45.3% params,
+                          # scripts/prune_finetune3.sh, stage P3) +
+                          # 5000-step recovery finetune (the 48-width
+                          # stage P2 failed its matrix gates — capacity
+                          # loss). Gates 2026-08-21 on this exported
+                          # file: 384x896 scale-2 EPE 2.548 (<4.5),
+                          # static spurious 0.0%; detection 9/9 vel
+                          # 0.350 (scale 1) / 7/7 vel 0.230 (serving —
+                          # BETTER than v6m3's 0.263), 0 phantoms.
+                          # Caveat (why it is NOT the default): the
+                          # scale-1 scene matrix vel errs are ~2x v6m3
+                          # (lateral/multi/occlusion 0.681/0.647/0.642
+                          # vs 0.319/0.193/0.306, marginally over the
+                          # 0.6 gate), and the paste probe regresses
+                          # (2.15/1.93/2.21 px at shifts 6/10/16 vs
+                          # v6m3's 1.25/1.43/1.85). The full-res speed
+                          # option: see BENCH_MATRIX round-5 row.
 })
 
 
