@@ -104,3 +104,31 @@ def test_load_flow_checkpoint_infers_architecture(tmp_path):
         img = jnp.zeros((1, 32, 64, 1), jnp.float32)
         full, _ = PWCNet(config=cfg2).apply(restored, img, img)
         assert full.shape == (1, 32, 64, 2)
+
+
+def test_bundled_pwc_p3_loads_and_is_gated():
+    """The round-5 speed-option weights: shape-self-describing load
+    (64-width est/ctx), scale-2 allowlist membership, and NOT the
+    default (v6m3 stays the quality default)."""
+    import os
+
+    from moving_object_detector_tpu.config import PipelineConfig
+    from moving_object_detector_tpu.utils.checkpoint import (
+        default_flow_checkpoint,
+        flow_checkpoint_scale2_gated,
+        load_flow_checkpoint,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p3 = os.path.join(root, "weights", "pwc_p3.fp16.npz")
+    if not os.path.exists(p3):
+        import pytest
+
+        pytest.skip("pwc_p3 weights not bundled")
+    params, cfg = load_flow_checkpoint(p3, PipelineConfig().flownet)
+    assert cfg.estimator_channels == (64, 64, 48, 32, 16)
+    assert cfg.context_channels == (64, 64, 64, 48, 32, 16)
+    assert cfg.occlusion_cue is False
+    assert flow_checkpoint_scale2_gated(p3)
+    default = default_flow_checkpoint()
+    assert default is not None and os.path.basename(default) != os.path.basename(p3)
