@@ -21,13 +21,12 @@ def test_bundled_weights_epe_floor():
     from moving_object_detector_tpu.eval import flow_epe
     from moving_object_detector_tpu.models.pwc_net import (
         PWCNet,
-        init_pwc_params_abstract,
     )
     from moving_object_detector_tpu.pipeline import _flow_forward
     from moving_object_detector_tpu.train.data_synth import generate_batch
     from moving_object_detector_tpu.utils.checkpoint import (
         default_flow_checkpoint,
-        restore_flow_params,
+        load_flow_checkpoint,
     )
 
     ckpt = default_flow_checkpoint()
@@ -40,11 +39,11 @@ def test_bundled_weights_epe_floor():
         pytest.xfail("pre-cell-texture weights can't meet the floor on "
                      "the widened texture distribution")
 
-    cfg = PipelineConfig()
-    model = PWCNet(config=cfg.flownet)
-    params = restore_flow_params(
-        ckpt, like=init_pwc_params_abstract(model)
-    )
+    # Shape-self-describing load: the default may carry architecture
+    # variants (e.g. pwc_v7's occlusion cue) the static default config
+    # does not describe.
+    params, flow_cfg = load_flow_checkpoint(ckpt, PipelineConfig().flownet)
+    model = PWCNet(config=flow_cfg)
     params = jax.tree_util.tree_map(jnp.asarray, params)
 
     h, w = 192, 448
@@ -82,14 +81,13 @@ def test_bundled_weights_epe_floor_scale2():
     from moving_object_detector_tpu.eval import flow_epe
     from moving_object_detector_tpu.models.pwc_net import (
         PWCNet,
-        init_pwc_params_abstract,
     )
     from moving_object_detector_tpu.pipeline import _flow_forward
     from moving_object_detector_tpu.train.data_synth import generate_batch
     from moving_object_detector_tpu.utils.checkpoint import (
         default_flow_checkpoint,
         flow_checkpoint_scale2_gated,
-        restore_flow_params,
+        load_flow_checkpoint,
     )
 
     ckpt = default_flow_checkpoint()
@@ -100,11 +98,9 @@ def test_bundled_weights_epe_floor_scale2():
                      "serving-distribution finetune")
 
     cfg = PipelineConfig()
-    model = PWCNet(config=cfg.flownet)
-    params = jax.tree_util.tree_map(
-        jnp.asarray,
-        restore_flow_params(ckpt, like=init_pwc_params_abstract(model)),
-    )
+    params, flow_cfg = load_flow_checkpoint(ckpt, cfg.flownet)
+    model = PWCNet(config=flow_cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
 
     h, w = 384, 896
     batch = generate_batch(jax.random.PRNGKey(0), 4, h, w)
@@ -137,13 +133,12 @@ def test_bundled_weights_large_motion_bins():
     from moving_object_detector_tpu.config import PipelineConfig
     from moving_object_detector_tpu.models.pwc_net import (
         PWCNet,
-        init_pwc_params_abstract,
     )
     from moving_object_detector_tpu.pipeline import _flow_forward
     from moving_object_detector_tpu.train.data_synth import generate_batch
     from moving_object_detector_tpu.utils.checkpoint import (
         default_flow_checkpoint,
-        restore_flow_params,
+        load_flow_checkpoint,
     )
 
     ckpt = default_flow_checkpoint()
@@ -154,11 +149,9 @@ def test_bundled_weights_large_motion_bins():
                      "(max_shift 112+, scripts/train_flow_v5.sh)")
 
     cfg = PipelineConfig()
-    model = PWCNet(config=cfg.flownet)
-    params = jax.tree_util.tree_map(
-        jnp.asarray,
-        restore_flow_params(ckpt, like=init_pwc_params_abstract(model)),
-    )
+    params, flow_cfg = load_flow_checkpoint(ckpt, cfg.flownet)
+    model = PWCNet(config=flow_cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
 
     h, w = 192, 448
     batch = generate_batch(jax.random.PRNGKey(7), 4, h, w,
@@ -200,6 +193,7 @@ def test_bundled_weights_large_motion_bins():
 _LARGE_MOTION_TRAINED = frozenset({
     "pwc_v5.fp16.npz",
     "pwc_v6m3.fp16.npz",  # 2026-08-21: [24,64) bin EPE 2.38 at 192x448
+    "pwc_v7.fp16.npz",    # 2026-08-22: [24,64) bin EPE 2.19 at 192x448
 })
 
 
@@ -216,12 +210,11 @@ def test_default_weights_static_fine_texture():
     from moving_object_detector_tpu.io.readers import SyntheticStereoSequence
     from moving_object_detector_tpu.models.pwc_net import (
         PWCNet,
-        init_pwc_params_abstract,
     )
     from moving_object_detector_tpu.pipeline import _flow_forward
     from moving_object_detector_tpu.utils.checkpoint import (
         default_flow_checkpoint,
-        restore_flow_params,
+        load_flow_checkpoint,
     )
 
     ckpt = default_flow_checkpoint()
@@ -233,11 +226,9 @@ def test_default_weights_static_fine_texture():
                      "default (scripts/retrain_flow.sh)")
 
     cfg = PipelineConfig()
-    model = PWCNet(config=cfg.flownet)
-    params = jax.tree_util.tree_map(
-        jnp.asarray,
-        restore_flow_params(ckpt, like=init_pwc_params_abstract(model)),
-    )
+    params, flow_cfg = load_flow_checkpoint(ckpt, cfg.flownet)
+    model = PWCNet(config=flow_cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
 
     h, w = 192, 448
     seq = SyntheticStereoSequence(height=h, width=w, fx=300.0, n_frames=3)
@@ -275,12 +266,11 @@ def test_default_weights_cell_texture_motion():
     from moving_object_detector_tpu.io.readers import SyntheticStereoSequence
     from moving_object_detector_tpu.models.pwc_net import (
         PWCNet,
-        init_pwc_params_abstract,
     )
     from moving_object_detector_tpu.pipeline import _flow_forward
     from moving_object_detector_tpu.utils.checkpoint import (
         default_flow_checkpoint,
-        restore_flow_params,
+        load_flow_checkpoint,
     )
 
     ckpt = default_flow_checkpoint()
@@ -292,11 +282,9 @@ def test_default_weights_cell_texture_motion():
                      "retrain_flow_stage_D.sh retrains the default)")
 
     cfg = PipelineConfig()
-    model = PWCNet(config=cfg.flownet)
-    params = jax.tree_util.tree_map(
-        jnp.asarray,
-        restore_flow_params(ckpt, like=init_pwc_params_abstract(model)),
-    )
+    params, flow_cfg = load_flow_checkpoint(ckpt, cfg.flownet)
+    model = PWCNet(config=flow_cfg)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
 
     h, w = 192, 448
     seq = SyntheticStereoSequence(height=h, width=w, fx=300.0, n_frames=3)
