@@ -76,6 +76,11 @@ def main(argv=None):
     ap.add_argument("--scale", type=int, default=2, choices=[1, 2])
     ap.add_argument("--modes", default="all",
                     help="comma list of full,gt-flow,gt-disp,gt-both")
+    ap.add_argument("--sgm-scale", type=int, default=0,
+                    help="override sgm_input_scale (0 = same as --scale);"
+                         " e.g. --scale 2 --sgm-scale 1 measures the"
+                         " quality-serving point (half-res flow,"
+                         " full-res SGM)")
     args = ap.parse_args(argv)
 
     import jax
@@ -117,7 +122,8 @@ def main(argv=None):
         seq = build_sequence(h, w, fx)
         m = evaluate_planar_sequence(
             seq, params, model,
-            flow_input_scale=args.scale, sgm_input_scale=args.scale,
+            flow_input_scale=args.scale,
+            sgm_input_scale=args.sgm_scale or args.scale,
             flow_oracle=fo, disparity_oracle=do,
         )
         rows[name] = {
