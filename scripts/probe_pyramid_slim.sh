@@ -2,6 +2,16 @@
 # Timing probe: LANE-FRIENDLY level-1 pyramid slim for the full-res 150
 # line (the next concrete lever after stage P3's 140.4 pairs/s).
 #
+# MEASURED 2026-08-22 (TPU v5e): DEAD END, do not retry.
+#   l1_8    (8,32,64,96,128,196)  -> 118.24 pairs/s
+#   l12_8_16(8,16,64,96,128,196)  -> 112.09 pairs/s
+# vs pwc_p3's 140.37. Even power-of-two slimming of the full-res levels
+# REGRESSES: an 8/16-channel conv at H x W is MXU-underutilized (128
+# lanes) and XLA picks worse layouts — the (16, 32, ...) pyramid is
+# already at the efficient width floor, confirming the round-4 finding
+# at lane-unfriendly widths. The remaining full-res levers are the SGM
+# DP recurrence and the scene-flow construct.
+#
 # Context (BENCH_MATRIX round-4 probe table): pruning the pyramid to
 # 16,24,48,72,96,128 made full-res SLOWER (9.70 ms) — the lane-unfriendly
 # widths (24/48/72) regress conv layouts more than the removed work
