@@ -34,6 +34,10 @@ _REAL_TEXTURE_TRAINED = frozenset({
     "pwc_v6m3.fp16.npz",  # measured 2026-08-21 on the exported file:
                           # static spurious 0.0% >5px on all 6 photos
                           # (median <= 0.25 px), shift-6 EPE <= 1.10
+    "pwc_v7.fp16.npz",    # measured 2026-08-22 on the exported file
+                          # (stage-O gate battery): static spurious
+                          # 0.0% >5px on all 6 photos (median 0.13-
+                          # 0.28 px), shift-6 EPE <= 1.09
 })
 
 
